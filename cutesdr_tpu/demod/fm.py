@@ -1,0 +1,157 @@
+"""NBFM demodulator with PLL frequency tracker and noise squelch.
+
+Reference analogue: CFmDemod (dsp/fmdemod.cpp): PLL (BW 6 kHz, zeta .707,
+±6 kHz range) whose NCO-frequency term *is* the FM audio after removing its
+slow DC (one-pole tracked offset); noise squelch measures rectified,
+exponentially-averaged noise power above the voice band through an HP FIR,
+gates with ±100 hysteresis against a 0..5000 threshold, and either zeroes
+the block or lowpasses it with a 3 kHz IIR.
+
+The PLL (+DC tracker) is a lax.scan; the squelch measurement is fully
+parallel (FIR + parallel EMA) with a tiny per-block state machine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cutesdr_tpu.design.fir_kaiser import design_highpass
+from cutesdr_tpu.design.iir_biquad import biquad_lowpass
+from cutesdr_tpu.ops import fir, iir
+from cutesdr_tpu.ops.util import ema
+from cutesdr_tpu.types import K_2PI
+
+FMPLL_RANGE = 6000.0
+VOICE_BANDWIDTH = 3000.0
+FMPLL_BW = VOICE_BANDWIDTH * 2.0
+FMPLL_ZETA = 0.707
+FMDC_ALPHA = 0.01
+MAX_FMOUT = 25000.0
+SQUELCH_MAX = 5000.0
+SQUELCHAVE_TIMECONST = 0.02
+SQUELCH_HYSTERESIS = 100.0
+
+
+class FmParams(NamedTuple):
+    pll_alpha: jax.Array
+    pll_beta: jax.Array
+    nco_limit: jax.Array
+    out_gain: jax.Array
+    dc_alpha: jax.Array
+    squelch_alpha: jax.Array
+    squelch_threshold: jax.Array
+    hp_fir: fir.FirParams         # noise HP above the voice band
+    lp_iir: iir.IirParams         # 3 kHz audio lowpass when squelch open
+
+
+class FmCarry(NamedTuple):
+    nco_phase: jax.Array
+    nco_freq: jax.Array
+    freq_error_dc: jax.Array
+    squelch_ave: jax.Array
+    squelch_on: jax.Array         # bool
+    hp_fir: fir.FirCarry
+    lp_iir: iir.IirCarry
+
+
+def squelch_threshold_from_ui(value: int) -> float:
+    """UI 0..99 -> threshold (99 forces permanent squelch, as the
+    reference's 'strong signal threshold' special case)."""
+    return SQUELCH_MAX - (SQUELCH_MAX * value) / 99.0
+
+
+def init(sample_rate: float, squelch_ui_value: int = 0,
+         fm_bw: float = VOICE_BANDWIDTH,
+         rdtype=jnp.float32) -> tuple[FmParams, FmCarry]:
+    norm = K_2PI / sample_rate
+    alpha = 2.0 * FMPLL_ZETA * FMPLL_BW * norm
+    beta = (alpha * alpha) / (4.0 * FMPLL_ZETA * FMPLL_ZETA)
+    limit = FMPLL_RANGE * norm
+    hp = design_highpass(1.0, 50.0, fm_bw, fm_bw * 0.6, sample_rate)
+    fp, fc = fir.init(hp, rdtype=rdtype)
+    ip, ic = iir.init(biquad_lowpass(VOICE_BANDWIDTH, 1.0, sample_rate),
+                      rdtype=rdtype)
+    r = lambda v: jnp.asarray(v, rdtype)
+    params = FmParams(
+        pll_alpha=r(alpha), pll_beta=r(beta), nco_limit=r(limit),
+        out_gain=r(MAX_FMOUT / limit),
+        dc_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * FMDC_ALPHA))),
+        squelch_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * SQUELCHAVE_TIMECONST))),
+        squelch_threshold=r(squelch_threshold_from_ui(squelch_ui_value)),
+        hp_fir=fp, lp_iir=ip)
+    carry = FmCarry(
+        nco_phase=r(0.0), nco_freq=r(0.0), freq_error_dc=r(0.0),
+        squelch_ave=r(0.0), squelch_on=jnp.asarray(True),
+        hp_fir=fc, lp_iir=ic)
+    return params, carry
+
+
+def set_squelch(params: FmParams, ui_value: int) -> FmParams:
+    return params._replace(squelch_threshold=jnp.asarray(
+        squelch_threshold_from_ui(ui_value), params.squelch_threshold.dtype))
+
+
+def set_bandwidth(params: FmParams, fm_bw: float, sample_rate: float) -> FmParams:
+    """Re-derive the squelch HP filter when the channel filter BW changes.
+    Tap count may change -> host-side param update (recompile only if the
+    designed length differs from the current one)."""
+    hp = design_highpass(1.0, 50.0, fm_bw, fm_bw * 0.6, sample_rate)
+    dt = params.hp_fir.taps_i.dtype
+    return params._replace(hp_fir=params.hp_fir._replace(
+        taps_i=jnp.asarray(hp, dt), taps_q=jnp.asarray(hp, dt)))
+
+
+def _pll_scan(params: FmParams, carry: FmCarry, x: jax.Array):
+    def step(c, xn):
+        phase, freq, dc = c
+        osc = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        tmp = xn * osc
+        err = -jnp.arctan2(tmp.imag, tmp.real)
+        freq = jnp.clip(freq + params.pll_beta * err,
+                        -params.nco_limit, params.nco_limit)
+        phase = phase + freq + params.pll_alpha * err
+        dc = (1.0 - params.dc_alpha) * dc + params.dc_alpha * freq
+        return (phase, freq, dc), (freq - dc) * params.out_gain
+
+    (phase, freq, dc), audio = lax.scan(
+        step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), x)
+    return jnp.mod(phase, K_2PI), freq, dc, audio
+
+
+def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
+    fc, noise = fir.process_real(params.hp_fir, carry.hp_fir, audio)
+    aves = ema(params.squelch_alpha, jnp.abs(noise), carry.squelch_ave)
+    ave = aves[-1]
+
+    force = params.squelch_threshold == 0.0
+    open_thresh = params.squelch_threshold - SQUELCH_HYSTERESIS
+    close_thresh = params.squelch_threshold + SQUELCH_HYSTERESIS
+    squelched = jnp.where(
+        force, True,
+        jnp.where(carry.squelch_on, ave >= open_thresh, ave >= close_thresh))
+
+    ic, lp_audio = iir.process(params.lp_iir, carry.lp_iir, audio)
+    # freeze the LP state and zero the audio while squelched
+    ic = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(squelched, old, new), ic, carry.lp_iir)
+    y = jnp.where(squelched, jnp.zeros((), audio.dtype), lp_audio)
+    return fc, ic, ave, squelched, y
+
+
+def process(params: FmParams, carry: FmCarry,
+            x: jax.Array) -> tuple[FmCarry, jax.Array]:
+    phase, freq, dc, audio = _pll_scan(params, carry, x)
+    fc, ic, ave, squelched, y = _noise_squelch(params, carry, audio)
+    return FmCarry(nco_phase=phase, nco_freq=freq, freq_error_dc=dc,
+                   squelch_ave=ave, squelch_on=squelched,
+                   hp_fir=fc, lp_iir=ic), y
+
+
+def process_stereo(params: FmParams, carry: FmCarry,
+                   x: jax.Array) -> tuple[FmCarry, jax.Array]:
+    carry, y = process(params, carry, x)
+    return carry, jax.lax.complex(y, y)

@@ -1,0 +1,91 @@
+"""Impulse noise blanker.
+
+Reference analogue: CNoiseProc (dsp/noiseproc.cpp:121-176): magnitude peak →
+5 ms moving average → when mag·Ratio exceeds the moving sum, zero the next
+``width`` samples of a Width/2-delayed signal path.
+
+TPU design — everything parallel, no per-sample counter:
+  * moving sum via cumulative-sum difference,
+  * the reference's countdown ("blank for Width samples after a trigger")
+    equals morphological dilation of the trigger sequence: sample n is
+    blanked iff any trigger fired in (n-width, n] — a reduce_window max,
+  * delay line = static slice of [tail | block].
+
+Exactly reproduces the reference's quirky effective windows: the magnitude
+average spans mag_samples+1 entries and the delay is delay_samples+1 (its
+ring buffers wrap one slot late) — kept identical on purpose.  The
+``SampleRate==SampleRate`` self-compare bug in the reference's change
+detection (dsp/noiseproc.cpp:82) is *not* replicated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cutesdr_tpu.ops.util import moving_sum, sliding_window_max
+
+MAX_WIDTH = 4096
+MAGAVE_TIME = 0.005
+
+
+@dataclass(frozen=True)
+class BlankerConfig:
+    on: bool
+    threshold: float        # 0..99 UI scale
+    width_usec: float       # impulse blanking width, microseconds
+    sample_rate: float
+
+    @property
+    def width_samples(self) -> int:
+        return max(1, min(int(self.width_usec * 1e-6 * self.sample_rate),
+                          MAX_WIDTH))
+
+    @property
+    def mag_samples(self) -> int:
+        return int(MAGAVE_TIME * self.sample_rate)
+
+    @property
+    def delay_samples(self) -> int:
+        return self.width_samples // 2
+
+    @property
+    def ratio(self) -> float:
+        return 0.005 * self.threshold * self.mag_samples
+
+
+class BlankerCarry(NamedTuple):
+    mag_tail: jax.Array     # [mag_samples] magnitude history (window-1 of W+1)
+    trig_tail: jax.Array    # [width_samples-1] trigger history
+    sig_tail: jax.Array     # [delay_samples+1] input history
+
+
+def init_carry(cfg: BlankerConfig, cdtype=jnp.complex64,
+               rdtype=jnp.float32) -> BlankerCarry:
+    return BlankerCarry(
+        mag_tail=jnp.zeros(cfg.mag_samples, rdtype),
+        trig_tail=jnp.zeros(cfg.width_samples - 1, rdtype),
+        sig_tail=jnp.zeros(cfg.delay_samples + 1, cdtype))
+
+
+def process(cfg: BlankerConfig, carry: BlankerCarry,
+            x: jax.Array) -> tuple[BlankerCarry, jax.Array]:
+    if not cfg.on:
+        return carry, x
+    n = x.shape[-1]
+    rdtype = jnp.real(x).dtype
+
+    mag = jnp.maximum(jnp.abs(x.real), jnp.abs(x.imag)).astype(rdtype)
+    mag_sum, mag_tail = moving_sum(mag, cfg.mag_samples + 1, carry.mag_tail)
+    trig = (mag * cfg.ratio > mag_sum).astype(rdtype)
+    blank, trig_tail = sliding_window_max(trig, cfg.width_samples,
+                                          carry.trig_tail)
+
+    zd = jnp.concatenate([carry.sig_tail, x], axis=-1)
+    delayed = zd[..., :n]
+    y = jnp.where(blank > 0.5, jnp.zeros((), x.dtype), delayed)
+    return BlankerCarry(mag_tail=mag_tail, trig_tail=trig_tail,
+                        sig_tail=zd[..., n:]), y

@@ -1,0 +1,77 @@
+"""S-meter: calibrated dB-power metering with attack/decay averaging.
+
+Reference analogue: CSMeter (dsp/smeter.cpp): per-sample dB power
+10·log10((I²+Q²)/32767²), 10 ms attack / 500 ms decay EMAs with the
+attack-dominates rule (rising signal snaps the decay average up), peak hold
+that resets when read, +5 dB absolute calibration offset.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cutesdr_tpu.types import MAX_AMPLITUDE
+
+ATTACK_TIMECONST = 0.01
+DECAY_TIMECONST = 0.5
+SMETER_CALIBRATION = 5.0
+MAX_PWR = MAX_AMPLITUDE * MAX_AMPLITUDE
+
+
+class SMeterParams(NamedTuple):
+    attack_alpha: jax.Array
+    decay_alpha: jax.Array
+
+
+class SMeterCarry(NamedTuple):
+    attack_ave: jax.Array
+    decay_ave: jax.Array
+    average_mag: jax.Array
+    peak_mag: jax.Array
+
+
+def init(sample_rate: float, rdtype=jnp.float32) -> tuple[SMeterParams, SMeterCarry]:
+    a = 1.0 - np.exp(-1.0 / (sample_rate * ATTACK_TIMECONST))
+    d = 1.0 - np.exp(-1.0 / (sample_rate * DECAY_TIMECONST))
+    r = lambda v: jnp.asarray(v, rdtype)
+    return (SMeterParams(attack_alpha=r(a), decay_alpha=r(d)),
+            SMeterCarry(attack_ave=r(-120.0), decay_ave=r(-120.0),
+                        average_mag=r(-120.0), peak_mag=r(0.0)))
+
+
+def process(params: SMeterParams, carry: SMeterCarry,
+            x: jax.Array) -> tuple[SMeterCarry, jax.Array]:
+    """Returns (carry', per-sample dB magnitudes); read meter via getters."""
+    rdtype = jnp.real(x).dtype
+    pwr = (x.real * x.real + x.imag * x.imag) / MAX_PWR
+    mag = (10.0 * jnp.log10(pwr + 1e-50)).astype(rdtype)
+
+    def step(c, m):
+        a, d, avg = c
+        a = (1.0 - params.attack_alpha) * a + params.attack_alpha * m
+        d = (1.0 - params.decay_alpha) * d + params.decay_alpha * m
+        rising = a > d
+        avg = jnp.where(rising, a, d)
+        d = jnp.where(rising, a, d)      # attack-dominates: snap decay up
+        return (a, d, avg), None
+
+    (a, d, avg), _ = lax.scan(
+        step, (carry.attack_ave, carry.decay_ave, carry.average_mag), mag)
+    peak = jnp.maximum(carry.peak_mag, jnp.max(mag))
+    return SMeterCarry(attack_ave=a, decay_ave=d, average_mag=avg,
+                       peak_mag=peak), mag
+
+
+def get_ave(carry: SMeterCarry) -> jax.Array:
+    return carry.average_mag + SMETER_CALIBRATION
+
+
+def get_peak(carry: SMeterCarry) -> tuple[SMeterCarry, jax.Array]:
+    """Peak hold, reset on read (same contract as the reference getter)."""
+    return carry._replace(peak_mag=jnp.zeros_like(carry.peak_mag)), \
+        carry.peak_mag + SMETER_CALIBRATION

@@ -1,0 +1,342 @@
+"""The full receiver chain as one jittable streaming step.
+
+Reference analogue: CSdrInterface::ProcessIQData + CDemodulator::ProcessData
+(interface/sdrinterface.cpp:878-921, dsp/demodulator.cpp:163-215): noise
+blanker → NCO-spur DC cal → [display FFT, separate] → downconvert/decimate →
+FastFIR channel filter → S-meter → AGC → demod → audio.
+
+TPU design:
+  * mode / rates / plan are *static* configuration → one compiled XLA
+    program per (mode, rate) bucket; numeric knobs (tune freq, filter H,
+    AGC constants, squelch, resample ratio) are traced params updatable
+    between blocks without recompiling (the reference's mutex-guarded live
+    reconfiguration becomes pure param swaps);
+  * the block length is decimation·1024 so the overlap-save filter sees an
+    integer number of frames; every stage is shape-static;
+  * state is one pytree (ReceiverState) handed across blocks — and, in the
+    sharded runner, across devices;
+  * probes: the testbench's 7 fixed taps (gui/testbench.h:29-38) become
+    named intermediate outputs, enabled statically by cfg.probes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import cached_property
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutesdr_tpu.demod import (DEMOD_AM, DEMOD_CWL, DEMOD_CWU, DEMOD_FM,
+                               DEMOD_LSB, DEMOD_SAM, DEMOD_USB, MODE_IDS,
+                               am as am_demod, fm as fm_demod,
+                               sam as sam_demod, ssb as ssb_demod)
+from cutesdr_tpu.design.decimation_plan import DecimationPlan, plan_decimation
+from cutesdr_tpu.ops import agc, decimator, fastfir, nco, noiseblanker, resampler, smeter
+
+SOUNDCARD_RATE = 48000.0
+
+# Per-mode filter-edge limits (the fixed table the GUI enforces,
+# gui/mainwindow.cpp:1000-1054).  (hi_min, hi_max, low_min, low_max, symmetric)
+MODE_LIMITS = {
+    "am":  (500, 10000, -10000, -500, True),
+    "sam": (100, 10000, -10000, -100, False),
+    "fm":  (5000, 15000, -15000, -5000, True),
+    "usb": (500, 20000, 0, 200, False),
+    "lsb": (-200, 0, -20000, -500, False),
+    "cwu": (50, 1000, -1000, -50, False),
+    "cwl": (50, 1000, -1000, -50, False),
+}
+
+# Sensible per-mode default filter edges (the reference persists the user's
+# last values in QSettings; these are its typical shipping defaults).
+MODE_DEFAULT_CUTS = {
+    "am": (-5000, 5000), "sam": (-5000, 5000), "fm": (-7500, 7500),
+    "usb": (100, 2800), "lsb": (-2800, -100),
+    "cwu": (-250, 250), "cwl": (-250, 250),
+}
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    input_rate: float = 2_000_000.0
+    mode: str = "usb"
+    low_cut: float | None = None       # Hz relative to tune freq
+    hi_cut: float | None = None
+    tune_freq: float = 0.0             # NCO offset within the passband
+    cw_offset: float = 0.0             # CW tone offset (cwu/cwl)
+    frames_per_block: int = 1          # fastfir frames per step (1024 out each)
+    # AGC
+    agc_on: bool = True
+    agc_hang: bool = False
+    agc_thresh_db: float = -100.0
+    agc_manual_gain_db: float = 30.0
+    agc_slope: float = 0.0
+    agc_decay_ms: float = 200.0
+    # FM squelch / noise blanker
+    squelch_ui: int = 0
+    nb_on: bool = False
+    nb_threshold: float = 50.0
+    nb_width_us: float = 2.0
+    # output
+    stereo: bool = False
+    audio_rate: float | None = SOUNDCARD_RATE   # None: raw demod-rate audio
+    decimator_impl: str = "fused"      # "fused" | "cascade"
+    probes: bool = False
+
+    def __post_init__(self):
+        if self.mode not in MODE_LIMITS:
+            raise ValueError(f"unknown mode {self.mode!r}")
+        lo, hi = MODE_DEFAULT_CUTS[self.mode]
+        if self.low_cut is None:
+            object.__setattr__(self, "low_cut", float(lo))
+        if self.hi_cut is None:
+            object.__setattr__(self, "hi_cut", float(hi))
+
+    @cached_property
+    def max_output_bw(self) -> float:
+        """Demod-driven decimation target: LSB-ish modes key off the low-edge
+        limit, others off the high-edge limit (dsp/demodulator.cpp:116-119)."""
+        hi_min, hi_max, low_min, low_max, _ = MODE_LIMITS[self.mode]
+        if self.mode in ("lsb", "cwl"):
+            return float(-low_min)
+        return float(hi_max)
+
+    @cached_property
+    def plan(self) -> DecimationPlan:
+        return plan_decimation(self.input_rate, self.max_output_bw)
+
+    @property
+    def output_rate(self) -> float:
+        return self.plan.out_rate
+
+    @property
+    def block_size(self) -> int:
+        """Input samples per step: frames_per_block overlap-save frames."""
+        return self.plan.decimation * fastfir.VALID * self.frames_per_block
+
+    @property
+    def audio_block_cap(self) -> int:
+        n_demod = fastfir.VALID * self.frames_per_block
+        if self.audio_rate is None:
+            return n_demod
+        return resampler.max_out_for(n_demod, self.output_rate / self.audio_rate)
+
+    @property
+    def mode_id(self) -> int:
+        return MODE_IDS[self.mode]
+
+
+class ReceiverParams(NamedTuple):
+    nco: nco.NcoParams
+    dec: Any                    # FusedParams or None (cascade keeps taps static)
+    chan_filter: fastfir.FastFirParams
+    agc: agc.AgcParams
+    smeter: smeter.SMeterParams
+    demod: Any
+    resamp: Any                 # ResamplerParams or None
+    dc_offset: jax.Array        # NCO-spur I/Q cal, complex scalar
+    audio_gain: jax.Array       # volume (linear)
+
+
+class ReceiverState(NamedTuple):
+    nco: nco.NcoCarry
+    blanker: Any
+    dec: Any
+    chan_filter: fastfir.FastFirCarry
+    agc: agc.AgcCarry
+    smeter: smeter.SMeterCarry
+    demod: Any
+    resamp: Any
+
+
+class StepOutput(NamedTuple):
+    audio: jax.Array            # [audio_block_cap] (real) or complex (stereo)
+    n_audio: jax.Array          # valid audio samples
+    smeter_ave_db: jax.Array
+    smeter_peak_db: jax.Array
+    probes: Any                 # dict of taps if cfg.probes else None
+
+
+def _demod_init(cfg: ReceiverConfig, rdtype):
+    fs = cfg.plan.out_rate
+    m = cfg.mode_id
+    if m == DEMOD_AM:
+        return am_demod.init((cfg.hi_cut - cfg.low_cut) / 2.0, fs, rdtype)
+    if m == DEMOD_SAM:
+        return sam_demod.init(fs, rdtype)
+    if m == DEMOD_FM:
+        return fm_demod.init(fs, cfg.squelch_ui, cfg.hi_cut, rdtype)
+    return None, None           # ssb/cw: stateless
+
+
+def _demod_apply(cfg: ReceiverConfig, params, carry, x):
+    m = cfg.mode_id
+    if m == DEMOD_AM:
+        f = am_demod.process_stereo if cfg.stereo else am_demod.process
+        return f(params, carry, x)
+    if m == DEMOD_SAM:
+        f = sam_demod.process_stereo if cfg.stereo else sam_demod.process
+        return f(params, carry, x)
+    if m == DEMOD_FM:
+        f = fm_demod.process_stereo if cfg.stereo else fm_demod.process
+        return f(params, carry, x)
+    f = ssb_demod.process_stereo if cfg.stereo else ssb_demod.process
+    return f(carry, x)
+
+
+def init(cfg: ReceiverConfig, rdtype=jnp.float32):
+    """Build (params, state) for a configuration.  Pure host-side."""
+    cdtype = jax.lax.complex(jnp.zeros((), rdtype), jnp.zeros((), rdtype)).dtype
+    fs_in, fs_out = cfg.input_rate, cfg.plan.out_rate
+
+    nco_p, nco_c = nco.init(cfg.tune_freq + cfg.cw_offset, fs_in)
+    if cfg.decimator_impl == "fused":
+        dec_p, dec_c = decimator.fused_init(cfg.plan, cdtype, rdtype)
+    else:
+        dec_p, dec_c = None, decimator.cascade_init(cfg.plan, cdtype)
+    ff_p, ff_c = fastfir.init(cfg.low_cut, cfg.hi_cut, cfg.cw_offset, fs_out,
+                              cdtype)
+    agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, fs_out)
+    agc_p = agc.make_params(agc_cfg, cfg.agc_thresh_db, cfg.agc_manual_gain_db,
+                            cfg.agc_slope, cfg.agc_decay_ms, rdtype)
+    agc_c = agc.init_carry(agc_cfg, complex_input=True, rdtype=rdtype)
+    sm_p, sm_c = smeter.init(fs_out, rdtype)
+    dm_p, dm_c = _demod_init(cfg, rdtype)
+
+    if cfg.audio_rate is not None:
+        rs_p, rs_c = resampler.init(fs_out / cfg.audio_rate,
+                                    complex_input=cfg.stereo, rdtype=rdtype)
+    else:
+        rs_p, rs_c = None, None
+
+    nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
+                                        cfg.nb_width_us, fs_in)
+    nb_c = noiseblanker.init_carry(nb_cfg, cdtype, rdtype) if cfg.nb_on else None
+
+    params = ReceiverParams(
+        nco=nco_p, dec=dec_p, chan_filter=ff_p, agc=agc_p, smeter=sm_p,
+        demod=dm_p, resamp=rs_p,
+        dc_offset=jnp.zeros((), cdtype),
+        audio_gain=jnp.asarray(1.0, rdtype))
+    state = ReceiverState(
+        nco=nco_c, blanker=nb_c, dec=dec_c, chan_filter=ff_c, agc=agc_c,
+        smeter=sm_c, demod=dm_c, resamp=rs_c)
+    return params, state
+
+
+def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
+                  state: ReceiverState,
+                  iq: jax.Array) -> tuple[ReceiverState, StepOutput]:
+    """Process one input block of cfg.block_size complex samples."""
+    probes = {} if cfg.probes else None
+    agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
+
+    if cfg.nb_on:
+        nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
+                                            cfg.nb_width_us, cfg.input_rate)
+        nb_c, iq = noiseblanker.process(nb_cfg, state.blanker, iq)
+        if probes is not None:
+            probes["p7_blanker"] = iq
+    else:
+        nb_c = state.blanker
+
+    iq = iq - params.dc_offset            # NCO-spur DC cal
+
+    nco_c, mixed = nco.process(params.nco, state.nco, iq)
+    if cfg.decimator_impl == "fused":
+        dec_c, base = decimator.fused_process(cfg.plan, params.dec,
+                                              state.dec, mixed)
+    else:
+        dec_c, base = decimator.cascade_process(cfg.plan, state.dec, mixed)
+    if probes is not None:
+        probes["p1_downconvert"] = base
+
+    ff_c, filt = fastfir.process(params.chan_filter, state.chan_filter, base)
+    if probes is not None:
+        probes["p2_fastfir"] = filt
+
+    sm_c, _ = smeter.process(params.smeter, state.smeter, filt)
+
+    agc_c, leveled = agc.process(agc_cfg, params.agc, state.agc, filt)
+    if probes is not None:
+        probes["p3_agc"] = leveled
+
+    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
+    if probes is not None:
+        probes["p4_demod"] = audio
+
+    if cfg.audio_rate is not None:
+        rs_c, audio_out, n_audio = resampler.process(
+            params.resamp, state.resamp, audio, cfg.audio_block_cap)
+        audio_out = audio_out * params.audio_gain
+        if probes is not None:
+            probes["p5_resampled"] = audio_out
+    else:
+        rs_c, audio_out = state.resamp, audio * params.audio_gain
+        n_audio = jnp.asarray(audio.shape[-1], jnp.int32)
+
+    sm_c, peak = smeter.get_peak(sm_c)
+    out = StepOutput(audio=audio_out, n_audio=n_audio,
+                     smeter_ave_db=smeter.get_ave(sm_c),
+                     smeter_peak_db=peak, probes=probes)
+    new_state = ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
+                              chan_filter=ff_c, agc=agc_c, smeter=sm_c,
+                              demod=dm_c, resamp=rs_c)
+    return new_state, out
+
+
+@dataclass
+class Receiver:
+    """Convenience stateful wrapper: owns params/state, jits the step."""
+    cfg: ReceiverConfig
+    rdtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.params, self.state = init(self.cfg, self.rdtype)
+        self._step = jax.jit(
+            lambda p, s, x: receiver_step(self.cfg, p, s, x))
+
+    def process(self, iq: jax.Array) -> StepOutput:
+        self.state, out = self._step(self.params, self.state, iq)
+        return out
+
+    # --- live reconfiguration (traced-param updates, no recompile) ---
+    def set_tune_freq(self, freq_hz: float) -> None:
+        self.params = self.params._replace(
+            nco=nco.retune(self.params.nco, freq_hz + self.cfg.cw_offset,
+                           self.cfg.input_rate))
+
+    def set_filter(self, low_cut: float, hi_cut: float) -> None:
+        self.params = self.params._replace(
+            chan_filter=fastfir.retune(self.params.chan_filter, low_cut,
+                                       hi_cut, self.cfg.cw_offset,
+                                       self.cfg.output_rate))
+
+    def set_agc(self, thresh_db=None, manual_gain_db=None, slope=None,
+                decay_ms=None) -> None:
+        c = self.cfg
+        agc_cfg = agc.AgcConfig(c.agc_on, c.agc_hang, c.plan.out_rate)
+        self.params = self.params._replace(agc=agc.make_params(
+            agc_cfg,
+            c.agc_thresh_db if thresh_db is None else thresh_db,
+            c.agc_manual_gain_db if manual_gain_db is None else manual_gain_db,
+            c.agc_slope if slope is None else slope,
+            c.agc_decay_ms if decay_ms is None else decay_ms, self.rdtype))
+
+    def set_resample_ratio(self, ratio: float) -> None:
+        if self.params.resamp is not None:
+            self.params = self.params._replace(
+                resamp=resampler.set_rate(self.params.resamp, ratio))
+
+    def set_volume(self, vol_0_99: int) -> None:
+        # 0..99 -> -50..0 dB, 0 = mute (interface/soundout.cpp:181-190)
+        g = 0.0 if vol_0_99 <= 0 else 10.0 ** ((min(vol_0_99, 99) - 99) / 39.2)
+        self.params = self.params._replace(
+            audio_gain=jnp.asarray(g, self.params.audio_gain.dtype))
+
+    def set_dc_offset(self, i_off: float, q_off: float) -> None:
+        self.params = self.params._replace(dc_offset=jnp.asarray(
+            complex(i_off, q_off), self.params.dc_offset.dtype))

@@ -1,0 +1,313 @@
+"""Op-level tests: each vectorized TPU op vs its per-sample oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracles
+from cutesdr_tpu.design import plan_decimation
+from cutesdr_tpu.design.fastfir_design import design_fastfir
+from cutesdr_tpu.design.fir_kaiser import design_lowpass, hilbert_bandpass
+from cutesdr_tpu.design.iir_biquad import biquad_lowpass
+from cutesdr_tpu.ops import (agc, decimator, fastfir, fir, iir, nco,
+                             noiseblanker, resampler, smeter)
+from cutesdr_tpu.ops.util import (ema, first_order_recurrence, moving_sum,
+                                  sliding_window_max)
+from cutesdr_tpu.testbench.generators import tone
+
+F64 = jnp.float64
+C128 = jnp.complex128
+
+
+def run_blocks(fn, carry, x, nblocks):
+    """Push x through fn in nblocks equal chunks, concatenating outputs."""
+    outs = []
+    for blk in np.split(x, nblocks):
+        carry, y = fn(carry, jnp.asarray(blk))
+        outs.append(np.asarray(y))
+    return carry, np.concatenate(outs)
+
+
+# ------------------------------------------------------------------- util --
+
+def test_first_order_recurrence_matches_loop(rng):
+    x = rng.standard_normal(257)
+    got = np.asarray(first_order_recurrence(0.97, jnp.asarray(x), 0.5))
+    want = np.empty_like(x)
+    s = 0.5
+    for i, v in enumerate(x):
+        s = 0.97 * s + v
+        want[i] = s
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_ema_matches_loop(rng):
+    x = rng.standard_normal(100)
+    got = np.asarray(ema(0.125, jnp.asarray(x), -2.0))
+    s = -2.0
+    for i, v in enumerate(x):
+        s = 0.875 * s + 0.125 * v
+        assert np.isclose(got[i], s, rtol=1e-9)
+
+
+def test_sliding_window_max(rng):
+    x = rng.standard_normal(200)
+    tail = np.full(7, -10.0)
+    got, new_tail = sliding_window_max(jnp.asarray(x), 8, jnp.asarray(tail))
+    z = np.concatenate([tail, x])
+    want = np.array([z[i:i + 8].max() for i in range(200)])
+    np.testing.assert_allclose(np.asarray(got), want)
+    np.testing.assert_allclose(np.asarray(new_tail), x[-7:])
+
+
+def test_moving_sum(rng):
+    x = rng.standard_normal(150)
+    tail = rng.standard_normal(9)
+    got, _ = moving_sum(jnp.asarray(x), 10, jnp.asarray(tail))
+    z = np.concatenate([tail, x])
+    want = np.array([z[i:i + 10].sum() for i in range(150)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9)
+
+
+# -------------------------------------------------------------------- nco --
+
+def test_nco_tone_shift():
+    fs = 100_000.0
+    f0 = 12_345.0
+    x = tone(4096, f0, fs)
+    p, c = nco.init(f0, fs)
+    c, y = nco.process(p, c, jnp.asarray(x, C128))
+    y = np.asarray(y)
+    # tone should land at DC: nearly constant complex value
+    assert np.std(np.abs(y)) < 1e-6 * np.mean(np.abs(y))
+    ang = np.unwrap(np.angle(y))
+    drift = np.abs(ang[-1] - ang[0])
+    assert drift < 0.05   # < fs/2^32 resolution over the block
+
+
+def test_nco_block_split_invariance():
+    fs = 1e6
+    p, c1 = nco.init(123_456.7, fs)
+    x = tone(8192, 0.0, fs)
+    _, y_full = nco.process(p, c1, jnp.asarray(x, C128))
+    _, c2 = nco.init(123_456.7, fs)
+    c2, y_a = nco.process(p, c2, jnp.asarray(x[:4096], C128))
+    c2, y_b = nco.process(p, c2, jnp.asarray(x[4096:], C128))
+    np.testing.assert_allclose(np.asarray(y_full),
+                               np.concatenate([y_a, y_b]), atol=1e-6)
+
+
+# -------------------------------------------------------------------- fir --
+
+def test_fir_real_matches_oracle(rng):
+    taps = design_lowpass(1.0, 50.0, 3000.0, 4000.0, 48000.0)
+    x = rng.standard_normal(512)
+    p, c = fir.init(taps, rdtype=F64)
+    _, got = run_blocks(lambda c, b: fir.process_real(p, c, b), c, x, 4)
+    want = oracles.FirOracle(taps).real(x)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_fir_complex_hilbert_matches_oracle(rng):
+    lp = design_lowpass(1.0, 40.0, 4500.0, 5500.0, 31250.0)
+    hi, hq = hilbert_bandpass(lp, 5000.0, 31250.0)
+    x = rng.standard_normal(256) + 1j * rng.standard_normal(256)
+    p, c = fir.init(hi, hq, complex_input=True, rdtype=F64)
+    _, got = run_blocks(lambda c, b: fir.process_complex(p, c, b), c, x, 2)
+    want = oracles.FirOracle(hi, hq).cpx(x)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+# -------------------------------------------------------------------- iir --
+
+def test_iir_biquad_matches_loop(rng):
+    coefs = biquad_lowpass(3000.0, 1.0, 48000.0)
+    b0, b1, b2, a1, a2 = coefs
+    x = rng.standard_normal(300)
+    p, c = iir.init(coefs, rdtype=F64)
+    _, got = run_blocks(lambda c, b: iir.process(p, c, b), c, x, 3)
+    w1 = w2 = 0.0
+    want = np.empty_like(x)
+    for i, v in enumerate(x):
+        w0 = v - a1 * w1 - a2 * w2
+        want[i] = b0 * w0 + b1 * w1 + b2 * w2
+        w2, w1 = w1, w0
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+# -------------------------------------------------------- decimator chain --
+
+def test_cascade_matches_oracle(rng):
+    plan = plan_decimation(500_000.0, 10_000.0)
+    assert len(plan.stages) >= 3
+    x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048))
+    c = decimator.cascade_init(plan, C128)
+    _, got = run_blocks(
+        lambda c, b: decimator.cascade_process(plan, c, b), c, x, 4)
+    want = oracles.CascadeOracle(plan)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_fused_matches_cascade(rng):
+    plan = plan_decimation(2_000_000.0, 2800.0)   # 7 stages incl. cic3
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)) * 1000
+    cc = decimator.cascade_init(plan, C128)
+    _, want = run_blocks(
+        lambda c, b: decimator.cascade_process(plan, c, b), cc, x, 2)
+    fp, fc = decimator.fused_init(plan, C128, F64)
+    _, got = run_blocks(
+        lambda c, b: decimator.fused_process(plan, fp, c, b), fc, x, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-6)
+
+
+def test_fused_block_split_invariance(rng):
+    plan = plan_decimation(250_000.0, 10_000.0)
+    x = rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+    fp, fc = decimator.fused_init(plan, C128, F64)
+    _, y1 = run_blocks(
+        lambda c, b: decimator.fused_process(plan, fp, c, b), fc, x, 1)
+    fp, fc = decimator.fused_init(plan, C128, F64)
+    _, y8 = run_blocks(
+        lambda c, b: decimator.fused_process(plan, fp, c, b), fc, x, 8)
+    np.testing.assert_allclose(y1, y8, rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------- fastfir --
+
+def test_fastfir_matches_oracle(rng):
+    fs = 15625.0
+    h = design_fastfir(100.0, 2800.0, 0.0, fs)
+    p = fastfir.FastFirParams(h_freq=jnp.asarray(h, C128))
+    c = fastfir.FastFirCarry(tail=jnp.zeros(fastfir.NFIR - 1, C128))
+    n = fastfir.VALID * 4
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 100
+    _, got = run_blocks(lambda c, b: fastfir.process(p, c, b), c, x, 2)
+    want = oracles.FastFirOracle(h)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-6)
+
+
+def test_fastfir_passband_stopband():
+    fs = 15625.0
+    p, c = fastfir.init(100.0, 2800.0, 0.0, fs, C128)
+    n = fastfir.VALID * 8
+    x_pass = tone(n, 1500.0, fs)
+    x_stop = tone(n, 5000.0, fs)
+    _, y_pass = fastfir.process(p, c, jnp.asarray(x_pass, C128))
+    _, y_stop = fastfir.process(p, c, jnp.asarray(x_stop, C128))
+    p_pass = np.mean(np.abs(np.asarray(y_pass)[2048:]) ** 2)
+    p_stop = np.mean(np.abs(np.asarray(y_stop)[2048:]) ** 2)
+    assert 10 * np.log10(p_pass / np.mean(np.abs(x_pass) ** 2)) > -1.0
+    assert 10 * np.log10(p_stop / np.mean(np.abs(x_stop) ** 2)) < -80.0
+
+
+# -------------------------------------------------------------------- agc --
+
+@pytest.mark.parametrize("use_hang", [False, True])
+def test_agc_matches_oracle(rng, use_hang):
+    fs = 15625.0
+    cfg = agc.AgcConfig(agc_on=True, use_hang=use_hang, sample_rate=fs)
+    p = agc.make_params(cfg, -100.0, 30.0, 2.0, 200.0, F64)
+    c = agc.init_carry(cfg, complex_input=True, rdtype=F64)
+    n = 1200
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 3000
+    x[300:600] *= 10.0   # step change to exercise attack/decay
+    _, got = run_blocks(lambda c, b: agc.process(cfg, p, c, b), c, x, 3)
+    want = oracles.AgcOracle(cfg, -100.0, 30.0, 2.0, 200.0)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_agc_manual_mode(rng):
+    cfg = agc.AgcConfig(agc_on=False, use_hang=False, sample_rate=15625.0)
+    p = agc.make_params(cfg, -100.0, 40.0, 0.0, 200.0, F64)
+    c = agc.init_carry(cfg, complex_input=True, rdtype=F64)
+    x = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    _, y = agc.process(cfg, p, c, jnp.asarray(x))
+    g = 32767.0 * 10 ** (-(100 - 40) / 20)
+    np.testing.assert_allclose(np.asarray(y), g * x, rtol=1e-6)
+
+
+# ----------------------------------------------------------------- smeter --
+
+def test_smeter_full_scale_tone():
+    fs = 15625.0
+    p, c = smeter.init(fs, F64)
+    x = tone(4096, 1000.0, fs, power_db=0.0)   # full scale
+    c, _ = smeter.process(p, c, jnp.asarray(x, C128))
+    ave = float(smeter.get_ave(c))
+    # full-scale tone = 0 dBFS + 5 dB calibration
+    assert abs(ave - 5.0) < 0.5
+    c, peak = smeter.get_peak(c)
+    assert abs(float(peak) - 5.0) < 0.5
+    assert float(c.peak_mag) == 0.0   # reset on read
+
+
+# ---------------------------------------------------------- noise blanker --
+
+def test_blanker_matches_oracle(rng):
+    fs = 500_000.0
+    cfg = noiseblanker.BlankerConfig(on=True, threshold=50.0, width_usec=20.0,
+                                     sample_rate=fs)
+    x = (rng.standard_normal(3000) + 1j * rng.standard_normal(3000)) * 100
+    x[500] = 50000.0 + 50000.0j      # impulse
+    x[1700] = -80000.0j
+    c = noiseblanker.init_carry(cfg, C128, F64)
+    _, got = run_blocks(lambda c, b: noiseblanker.process(cfg, c, b), c, x, 3)
+    want = oracles.BlankerOracle(cfg)(x)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_blanker_kills_impulse(rng):
+    fs = 500_000.0
+    cfg = noiseblanker.BlankerConfig(on=True, threshold=30.0, width_usec=20.0,
+                                     sample_rate=fs)
+    x = (rng.standard_normal(2000) + 1j * rng.standard_normal(2000)) * 10
+    x[1000] = 1e6
+    c = noiseblanker.init_carry(cfg, C128, F64)
+    _, y = noiseblanker.process(cfg, c, jnp.asarray(x))
+    y = np.asarray(y)
+    assert np.max(np.abs(y)) < 1000.0   # impulse removed
+
+
+# -------------------------------------------------------------- resampler --
+
+@pytest.mark.parametrize("rate", [0.3255208333, 1.0, 1.2345])
+def test_resampler_matches_oracle(rng, rate):
+    x = (rng.standard_normal(960) + 1j * rng.standard_normal(960)) * 100
+    p, c = resampler.init(rate, complex_input=True, rdtype=F64)
+    oracle = oracles.ResamplerOracle(resampler.make_sinc_table(np.float64))
+    max_out = resampler.max_out_for(320, rate)
+    got_all, want_all = [], []
+    for blk in np.split(x, 3):
+        c, y, nv = resampler.process(p, c, jnp.asarray(blk), max_out)
+        got_all.append(np.asarray(y)[:int(nv)])
+        want_all.append(oracle(blk, rate))
+    got = np.concatenate(got_all)
+    want = np.concatenate(want_all)
+    assert len(got) == len(want)
+    # the oracle accumulates float time (ft += rate) while the op uses the
+    # exact closed form t_k = t0 + k*dt, so sinc table indices may differ by
+    # ±1 step (1e-4 of a zero crossing) for non-terminating rates
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=0.1)
+
+
+def test_resampler_tone_snr():
+    """48 kHz tone resampled 15625->48000 must keep high SNR."""
+    fs_in, fs_out = 15625.0, 48000.0
+    rate = fs_in / fs_out
+    f0 = 1000.0
+    n = 4096
+    x = np.real(tone(n, f0, fs_in, power_db=-10.0))
+    p, c = resampler.init(rate, rdtype=F64)
+    max_out = resampler.max_out_for(n, rate)
+    c, y, nv = resampler.process(p, c, jnp.asarray(x), max_out)
+    y = np.asarray(y)[200:int(nv) - 200]   # skip edge transients
+    t = np.arange(len(y)) / fs_out
+    # fit the tone and measure residual
+    ref = np.exp(2j * np.pi * f0 * t)
+    amp = (y @ np.conj(ref)) / len(y) * 2
+    resid = y - np.real(amp * ref)
+    snr = 10 * np.log10(np.mean(y ** 2) / np.mean(resid ** 2))
+    # ~65 dB is the intrinsic quality of the 28-period nearest-neighbor sinc
+    # interpolation method itself (same method as the reference)
+    assert snr > 60.0, snr
