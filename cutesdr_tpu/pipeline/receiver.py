@@ -192,7 +192,9 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     cdtype = jax.lax.complex(jnp.zeros((), rdtype), jnp.zeros((), rdtype)).dtype
     fs_in, fs_out = cfg.input_rate, cfg.plan.out_rate
 
-    nco_p, nco_c = nco.init(cfg.tune_freq + cfg.cw_offset, fs_in)
+    # mixer shifts a tone at f_nco to DC, so the tuned station must land at
+    # +cw_offset inside the (offset-shifted) channel filter -> f_nco = tune - off
+    nco_p, nco_c = nco.init(cfg.tune_freq - cfg.cw_offset, fs_in)
     if cfg.decimator_impl == "fused":
         dec_p, dec_c = decimator.fused_init(cfg.plan, cdtype, rdtype)
     else:
@@ -306,7 +308,7 @@ class Receiver:
     # --- live reconfiguration (traced-param updates, no recompile) ---
     def set_tune_freq(self, freq_hz: float) -> None:
         self.params = self.params._replace(
-            nco=nco.retune(self.params.nco, freq_hz + self.cfg.cw_offset,
+            nco=nco.retune(self.params.nco, freq_hz - self.cfg.cw_offset,
                            self.cfg.input_rate))
 
     def set_filter(self, low_cut: float, hi_cut: float) -> None:

@@ -1,0 +1,140 @@
+"""Demodulator behavior tests: tone recovery, PLL lock, squelch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutesdr_tpu.demod import am, fm, sam, ssb
+from cutesdr_tpu.testbench.generators import tone
+from cutesdr_tpu.types import K_2PI
+
+F64 = jnp.float64
+C128 = jnp.complex128
+
+
+def fit_tone_snr(y, f0, fs, skip=500):
+    y = np.asarray(y, np.float64)[skip:]
+    t = np.arange(len(y)) / fs
+    ref = np.exp(2j * np.pi * f0 * t)
+    amp = (y @ np.conj(ref)) / len(y) * 2
+    resid = y - np.real(amp * ref)
+    return abs(amp), 10 * np.log10(np.mean(y ** 2) / max(np.mean(resid ** 2), 1e-30))
+
+
+def test_ssb_is_real_part(rng):
+    x = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    _, y = ssb.process(None, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), x.real)
+    _, ys = ssb.process_stereo(None, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ys), x.real + 1j * x.real)
+
+
+def test_am_envelope_recovers_modulation():
+    fs = 31250.0
+    n = 8192
+    fm_audio = 1000.0
+    t = np.arange(n) / fs
+    envelope = 10000.0 * (1.0 + 0.5 * np.cos(2 * np.pi * fm_audio * t))
+    x = envelope * np.exp(1j * (0.3 + 2 * np.pi * 25.0 * t))  # near-DC carrier
+    p, c = am.init(5000.0, fs, F64)
+    c, y = am.process(p, c, jnp.asarray(x, C128))
+    amp, snr = fit_tone_snr(y, fm_audio, fs, skip=1000)
+    assert abs(amp - 5000.0) / 5000.0 < 0.05
+    assert snr > 30.0
+
+
+def test_am_block_split_invariance(rng):
+    fs = 31250.0
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)) * 100
+    p, c1 = am.init(5000.0, fs, F64)
+    _, y_full = am.process(p, c1, jnp.asarray(x, C128))
+    _, c2 = am.init(5000.0, fs, F64)
+    outs = []
+    for blk in np.split(x, 4):
+        c2, y = am.process(p, c2, jnp.asarray(blk, C128))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.asarray(y_full), np.concatenate(outs),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_sam_pll_locks_and_demodulates():
+    """Carrier offset within pull-in range: PLL locks, audio recovered."""
+    fs = 15625.0
+    n = 3 * 4096
+    f_carrier = 300.0           # offset carrier (within ±1 kHz clamp)
+    f_audio = 400.0
+    t = np.arange(n) / fs
+    env = 8000.0 * (1.0 + 0.5 * np.cos(2 * np.pi * f_audio * t))
+    x = env * np.exp(1j * 2 * np.pi * f_carrier * t)
+    p, c = sam.init(fs, F64)
+    c, y = sam.process(p, c, jnp.asarray(x, C128))
+    # after lock, NCO freq should track the carrier offset
+    locked_freq = float(c.nco_freq) * fs / K_2PI
+    assert abs(locked_freq - f_carrier) < 20.0
+    amp, snr = fit_tone_snr(y, f_audio, fs, skip=n // 2)
+    assert abs(amp - 4000.0) / 4000.0 < 0.1
+    assert snr > 20.0
+
+
+def test_sam_stereo_separates_sidebands():
+    fs = 15625.0
+    n = 4 * 4096
+    t = np.arange(n) / fs
+    f_u, f_l = 1200.0, 700.0
+    # carrier + upper sideband at +1200, lower sideband at -700
+    x = 8000.0 * np.exp(1j * 0 * t)
+    x = x + 2000.0 * np.exp(1j * 2 * np.pi * f_u * t)
+    x = x + 2000.0 * np.exp(-1j * 2 * np.pi * f_l * t)
+    p, c = sam.init(fs, F64)
+    c, y = sam.process_stereo(p, c, jnp.asarray(x, C128))
+    y = np.asarray(y)[n // 2:]
+    left, right = y.real, y.imag
+    def tone_power(sig, f):
+        tt = np.arange(len(sig)) / fs
+        return abs(sig @ np.exp(-2j * np.pi * f * tt)) / len(sig) * 2
+    # upper sideband should dominate the right channel, lower the left
+    assert tone_power(right, f_u) > 5 * tone_power(right, f_l)
+    assert tone_power(left, f_l) > 5 * tone_power(left, f_u)
+
+
+def test_fm_demodulates_tone():
+    # FM runs at 62.5 kHz out of the decimator (max BW 15 kHz -> stop at f<=89.8k)
+    fs = 62500.0
+    n = 3 * 4096
+    f_audio = 1000.0
+    deviation = 3000.0
+    t = np.arange(n) / fs
+    phase = (deviation / f_audio) * np.sin(2 * np.pi * f_audio * t)
+    x = 10000.0 * np.exp(1j * phase)
+    p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    # squelch_ui 0 -> threshold SQUELCH_MAX -> squelch never trips on clean FM
+    c, y = fm.process(p, c, jnp.asarray(x, C128))
+    amp, snr = fit_tone_snr(y, f_audio, fs, skip=n // 2)
+    # audio amplitude = deviation * out_gain where out_gain = 25000/nco_limit
+    norm = K_2PI / fs
+    expect = deviation * norm * (25000.0 / (6000.0 * norm))
+    assert abs(amp - expect) / expect < 0.05
+    assert snr > 25.0
+
+
+def test_fm_squelch_mutes_noise(rng):
+    fs = 62500.0
+    p, c = fm.init(fs, squelch_ui_value=50, fm_bw=5000.0, rdtype=F64)
+    # pure noise input -> PLL output is wideband noise -> squelch closes
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)) * 10000.0
+    for blk in np.split(x, 4):
+        c, y = fm.process(p, c, jnp.asarray(blk, C128))
+    assert bool(c.squelch_on)
+    assert np.all(np.asarray(y) == 0.0)
+
+
+def test_fm_squelch_opens_on_signal():
+    fs = 62500.0
+    n = 8192
+    t = np.arange(n) / fs
+    x = 10000.0 * np.exp(1j * 2 * np.pi * 100.0 * t)   # clean carrier
+    p, c = fm.init(fs, squelch_ui_value=50, fm_bw=5000.0, rdtype=F64)
+    for _ in range(3):
+        c, y = fm.process(p, c, jnp.asarray(x, C128))
+    assert not bool(c.squelch_on)

@@ -1,0 +1,171 @@
+"""End-to-end receiver tests: the automated version of the reference's
+testbench methodology (sweep a tone, watch the probes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator, tone
+
+C64 = jnp.complex64
+
+
+def run_stream(rx, x, drop_blocks=1):
+    """Feed x through the receiver; return concatenated valid audio."""
+    bs = rx.cfg.block_size
+    audio = []
+    nblocks = len(x) // bs
+    for i in range(nblocks):
+        out = rx.process(jnp.asarray(x[i * bs:(i + 1) * bs], C64))
+        if i >= drop_blocks:
+            audio.append(np.asarray(out.audio)[:int(out.n_audio)])
+    return np.concatenate(audio), out
+
+
+def tone_power_db(sig, f, fs):
+    t = np.arange(len(sig)) / fs
+    a = abs(np.asarray(sig, np.complex128) @ np.exp(-2j * np.pi * f * t)) / len(sig) * 2
+    return 20 * np.log10(a + 1e-30)
+
+
+def test_usb_tone_passband():
+    """USB receiver at 2 MSPS: tone inside the passband appears in audio at
+    the expected audio frequency; S-meter reads sensible level."""
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="usb",
+                         low_cut=100.0, hi_cut=2800.0,
+                         tune_freq=100_000.0, audio_rate=48000.0)
+    # USB mode keys decimation off HiCutmax=20 kHz -> 62.5 kHz output rate
+    assert cfg.output_rate == 62500.0
+    rx = Receiver(cfg)
+    f_audio = 1500.0
+    x = tone(cfg.block_size * 4, 100_000.0 + f_audio, cfg.input_rate,
+             power_db=-20.0)
+    audio, out = run_stream(rx, x)
+    p_sig = tone_power_db(audio, f_audio, 48000.0)
+    p_tot = 10 * np.log10(np.mean(audio ** 2) + 1e-30)
+    # tone dominates the audio: total power ~= tone power (within 1 dB)
+    assert p_sig - 3.01 > p_tot - 1.0
+    # S-meter: -20 dBFS + 5 dB cal ~= -15 dB
+    assert abs(float(out.smeter_ave_db) + 15.0) < 3.0
+
+
+def test_usb_tone_stopband_rejected():
+    # AGC off: it would otherwise level the residual back up
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="usb",
+                         low_cut=100.0, hi_cut=2800.0, agc_on=False,
+                         tune_freq=100_000.0, audio_rate=None)
+    rx = Receiver(cfg)
+    x_pass = tone(cfg.block_size * 3, 100_000.0 + 1500.0, cfg.input_rate, -20.0)
+    x_stop = tone(cfg.block_size * 3, 100_000.0 + 6000.0, cfg.input_rate, -20.0)
+    a_pass, _ = run_stream(rx, x_pass)
+    rx2 = Receiver(cfg)
+    a_stop, _ = run_stream(rx2, x_stop)
+    rej = 10 * np.log10((np.mean(a_stop ** 2) + 1e-30)
+                        / (np.mean(a_pass ** 2) + 1e-30))
+    assert rej < -70.0, rej
+
+
+def test_lsb_mode_selects_lower_sideband():
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="lsb",
+                         low_cut=-2800.0, hi_cut=-100.0, agc_on=False,
+                         tune_freq=0.0, audio_rate=None)
+    rx = Receiver(cfg)
+    # lower-sideband tone (below the carrier) passes
+    x_low = tone(cfg.block_size * 3, -1500.0, cfg.input_rate, -20.0)
+    # upper-sideband tone rejected
+    x_up = tone(cfg.block_size * 3, +1500.0, cfg.input_rate, -20.0)
+    a_low, _ = run_stream(rx, x_low)
+    rx2 = Receiver(cfg)
+    a_up, _ = run_stream(rx2, x_up)
+    assert np.mean(a_low ** 2) > 1000 * np.mean(a_up ** 2)
+
+
+def test_am_receiver_end_to_end():
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="am",
+                         tune_freq=500_000.0, audio_rate=48000.0,
+                         agc_on=False, agc_manual_gain_db=100.0)
+    assert cfg.output_rate == 31250.0
+    rx = Receiver(cfg)
+    fs = cfg.input_rate
+    n = cfg.block_size * 4
+    t = np.arange(n) / fs
+    f_mod = 1000.0
+    env = 3000.0 * (1.0 + 0.5 * np.cos(2 * np.pi * f_mod * t))
+    x = env * np.exp(1j * 2 * np.pi * 500_000.0 * t)
+    audio, _ = run_stream(rx, x)
+    # modulation tone present in audio
+    p_mod = tone_power_db(audio, f_mod, 48000.0)
+    p_res = 10 * np.log10(np.mean(audio ** 2) + 1e-30)
+    assert p_mod > p_res - 4.0
+
+
+def test_cw_offset_shifts_tone():
+    """CWU with 700 Hz offset: a carrier exactly on tune_freq produces a
+    700 Hz audio beat (the downconverter applies the CW offset and the
+    channel filter window shifts with it, as in the reference)."""
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="cwu",
+                         low_cut=-250.0, hi_cut=250.0, cw_offset=700.0,
+                         tune_freq=50_000.0, audio_rate=None)
+    rx = Receiver(cfg)
+    x = tone(cfg.block_size * 3, 50_000.0, cfg.input_rate, -20.0)
+    audio, _ = run_stream(rx, x)
+    p_beat = tone_power_db(audio, 700.0, cfg.output_rate)
+    p_tot = 10 * np.log10(np.mean(audio ** 2) + 1e-30)
+    assert p_beat - 3.01 > p_tot - 1.0
+
+
+def test_cascade_equals_fused_receiver():
+    kw = dict(input_rate=500_000.0, mode="usb", tune_freq=10_000.0,
+              audio_rate=None, agc_on=False)
+    rx_f = Receiver(ReceiverConfig(decimator_impl="fused", **kw))
+    rx_c = Receiver(ReceiverConfig(decimator_impl="cascade", **kw))
+    gen = SignalGenerator(GenConfig(sample_rate=500_000.0,
+                                    sweep_start_hz=9_000.0,
+                                    sweep_stop_hz=14_000.0,
+                                    sweep_rate_hz_per_sec=2e6,
+                                    signal_power_db=-20.0,
+                                    noise_power_db=-60.0))
+    x = gen.next_block(rx_f.cfg.block_size * 2)
+    a_f, _ = run_stream(rx_f, x, drop_blocks=0)
+    a_c, _ = run_stream(rx_c, x, drop_blocks=0)
+    assert np.allclose(a_f, a_c, atol=2e-2 * np.abs(a_f).max())
+
+
+def test_probes_present():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", probes=True,
+                         nb_on=True, audio_rate=48000.0)
+    rx = Receiver(cfg)
+    x = tone(cfg.block_size, 1000.0, cfg.input_rate, -20.0)
+    out = rx.process(jnp.asarray(x, C64))
+    for k in ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod",
+              "p5_resampled", "p7_blanker"):
+        assert k in out.probes, k
+
+
+def test_live_retune_no_recompile():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None)
+    rx = Receiver(cfg)
+    x1 = tone(cfg.block_size * 2, 20_000.0 + 1000.0, cfg.input_rate, -20.0)
+    rx.set_tune_freq(20_000.0)
+    a1, _ = run_stream(rx, x1, drop_blocks=1)
+    # retune mid-stream: same params pytree, no recompilation
+    rx.set_tune_freq(40_000.0)
+    x2 = tone(cfg.block_size * 2, 40_000.0 + 1000.0, cfg.input_rate, -20.0)
+    a2, _ = run_stream(rx, x2, drop_blocks=1)
+    assert tone_power_db(a2, 1000.0, cfg.output_rate) > \
+        10 * np.log10(np.mean(a2 ** 2) + 1e-30) - 2.0
+
+
+def test_volume_control():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None,
+                         agc_on=False)
+    rx = Receiver(cfg)
+    x = tone(cfg.block_size * 2, 1000.0, cfg.input_rate, -20.0)
+    rx.set_volume(99)
+    a_full, _ = run_stream(rx, x)
+    rx.set_volume(0)
+    a_mute, _ = run_stream(rx, x)
+    assert np.all(a_mute == 0.0)
+    assert np.any(a_full != 0.0)
