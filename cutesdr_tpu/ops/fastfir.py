@@ -55,19 +55,26 @@ def retune(params: FastFirParams, f_lo_cut: float, f_hi_cut: float,
     return FastFirParams(h_freq=jnp.asarray(h, params.h_freq.dtype))
 
 
-def process(params: FastFirParams, carry: FastFirCarry,
-            x: jax.Array) -> tuple[FastFirCarry, jax.Array]:
-    """len(x) must be a multiple of VALID (=1024); returns len(x) samples."""
-    n = x.shape[-1]
+def filter_frames(h_freq: jax.Array, z: jax.Array) -> jax.Array:
+    """Overlap-save core on an explicit [NFIR-1 + n] history+block buffer;
+    returns n filtered samples.  Also used by the time-sharded front-end,
+    where the history is a ppermute'd halo instead of a carried tail."""
+    n = z.shape[-1] - (NFIR - 1)
     if n % VALID:
         raise ValueError(f"fastfir block length {n} not a multiple of {VALID}")
     n_frames = n // VALID
-    z = jnp.concatenate([carry.tail, x], axis=-1)        # [NFIR-1 + n]
     # frame f = z[f*VALID : f*VALID + NFFT]
     idx = (np.arange(NFFT)[None, :] + VALID * np.arange(n_frames)[:, None])
     frames = z[..., idx]                                  # [..., n_frames, NFFT]
     spec = jnp.fft.fft(frames, axis=-1)
-    yf = jnp.fft.ifft(spec * params.h_freq, axis=-1) * NFFT
+    yf = jnp.fft.ifft(spec * h_freq, axis=-1) * NFFT
     y = yf[..., NFIR - 1:]                                # [..., n_frames, VALID]
-    y = y.reshape(y.shape[:-2] + (n,)).astype(x.dtype)
+    return y.reshape(y.shape[:-2] + (n,)).astype(z.dtype)
+
+
+def process(params: FastFirParams, carry: FastFirCarry,
+            x: jax.Array) -> tuple[FastFirCarry, jax.Array]:
+    """len(x) must be a multiple of VALID (=1024); returns len(x) samples."""
+    z = jnp.concatenate([carry.tail, x], axis=-1)        # [NFIR-1 + n]
+    y = filter_frames(params.h_freq, z)
     return FastFirCarry(tail=z[..., z.shape[-1] - (NFIR - 1):]), y

@@ -229,12 +229,50 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     return params, state
 
 
+def back_end(cfg: ReceiverConfig, params: ReceiverParams,
+             state: ReceiverState, filt: jax.Array, probes=None):
+    """Audio-rate tail of the chain (S-meter → AGC → demod → resample).
+
+    Runs on channel-filtered samples at the decimated rate; shared between
+    the single-chip step and the time-sharded runner (where the front-end is
+    sharded and this tail runs replicated on the gathered audio-rate data —
+    its compute is negligible next to the wideband front-end)."""
+    agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
+
+    sm_c, _ = smeter.process(params.smeter, state.smeter, filt)
+
+    agc_c, leveled = agc.process(agc_cfg, params.agc, state.agc, filt)
+    if probes is not None:
+        probes["p3_agc"] = leveled
+
+    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
+    if probes is not None:
+        probes["p4_demod"] = audio
+
+    if cfg.audio_rate is not None:
+        cap = resampler.max_out_for(filt.shape[-1],
+                                    cfg.output_rate / cfg.audio_rate)
+        rs_c, audio_out, n_audio = resampler.process(
+            params.resamp, state.resamp, audio, cap)
+        audio_out = audio_out * params.audio_gain
+        if probes is not None:
+            probes["p5_resampled"] = audio_out
+    else:
+        rs_c, audio_out = state.resamp, audio * params.audio_gain
+        n_audio = jnp.asarray(audio.shape[-1], jnp.int32)
+
+    sm_c, peak = smeter.get_peak(sm_c)
+    out = StepOutput(audio=audio_out, n_audio=n_audio,
+                     smeter_ave_db=smeter.get_ave(sm_c),
+                     smeter_peak_db=peak, probes=probes)
+    return sm_c, agc_c, dm_c, rs_c, out
+
+
 def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
                   state: ReceiverState,
                   iq: jax.Array) -> tuple[ReceiverState, StepOutput]:
     """Process one input block of cfg.block_size complex samples."""
     probes = {} if cfg.probes else None
-    agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
 
     if cfg.nb_on:
         nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
@@ -260,30 +298,7 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
     if probes is not None:
         probes["p2_fastfir"] = filt
 
-    sm_c, _ = smeter.process(params.smeter, state.smeter, filt)
-
-    agc_c, leveled = agc.process(agc_cfg, params.agc, state.agc, filt)
-    if probes is not None:
-        probes["p3_agc"] = leveled
-
-    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
-    if probes is not None:
-        probes["p4_demod"] = audio
-
-    if cfg.audio_rate is not None:
-        rs_c, audio_out, n_audio = resampler.process(
-            params.resamp, state.resamp, audio, cfg.audio_block_cap)
-        audio_out = audio_out * params.audio_gain
-        if probes is not None:
-            probes["p5_resampled"] = audio_out
-    else:
-        rs_c, audio_out = state.resamp, audio * params.audio_gain
-        n_audio = jnp.asarray(audio.shape[-1], jnp.int32)
-
-    sm_c, peak = smeter.get_peak(sm_c)
-    out = StepOutput(audio=audio_out, n_audio=n_audio,
-                     smeter_ave_db=smeter.get_ave(sm_c),
-                     smeter_peak_db=peak, probes=probes)
+    sm_c, agc_c, dm_c, rs_c, out = back_end(cfg, params, state, filt, probes)
     new_state = ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
                               chan_filter=ff_c, agc=agc_c, smeter=sm_c,
                               demod=dm_c, resamp=rs_c)

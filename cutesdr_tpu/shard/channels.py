@@ -1,0 +1,88 @@
+"""Channel-bank parallelism: N independent receivers over one wideband
+stream, vmapped and sharded across mesh axis 'ch'.
+
+Reference analogue: none — the reference runs exactly one demod chain.  This
+is the "64 channels from one 10 MSPS stream" capability (BASELINE.json
+config 4): each channel has its own tune frequency / mode parameters but
+shares the static configuration (mode, rates, plan), so one compiled program
+serves every channel, batched through vmap (the per-channel convolutions/
+FFTs become batched ops on the MXU) and sharded over devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cutesdr_tpu.ops import nco
+from cutesdr_tpu.pipeline import receiver as rx
+
+
+@dataclass
+class ChannelBank:
+    """N channels, same static config, per-channel tune frequencies.
+
+    Input per step: one shared block of cfg.block_size complex samples
+    (replicated); output: per-channel audio [n_channels, cap].
+    """
+    cfg: rx.ReceiverConfig
+    tune_freqs: Sequence[float]
+    mesh: Mesh | None = None
+    axis: str = "ch"
+    rdtype: Any = jnp.float32
+
+    def __post_init__(self):
+        n = len(self.tune_freqs)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[self.axis]
+            if n % n_dev:
+                raise ValueError(f"{n} channels not divisible by {n_dev} devices")
+
+        # stack per-channel params/state along a leading channel axis
+        p0, s0 = rx.init(self.cfg, self.rdtype)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n,) + a.shape), p0)
+        incs = jnp.asarray(
+            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
+             for f in self.tune_freqs])
+        params = params._replace(nco=params.nco._replace(phase_inc=incs))
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n,) + a.shape), s0)
+        self.params, self.state = params, state
+
+        cfg = self.cfg
+        step = jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
+                        in_axes=(0, 0, None))
+        if self.mesh is not None:
+            spec = P(self.axis)
+            shard = NamedSharding(self.mesh, spec)
+            rep = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, shard)
+            self.state = jax.device_put(self.state, shard)
+            self._step = jax.jit(
+                step,
+                in_shardings=(shard, shard, rep),
+                out_shardings=(shard, shard))
+        else:
+            self._step = jax.jit(step)
+
+    @property
+    def n_channels(self) -> int:
+        return len(self.tune_freqs)
+
+    def process(self, iq) -> rx.StepOutput:
+        self.state, out = self._step(self.params, self.state,
+                                     jnp.asarray(iq))
+        return out
+
+    def set_tune_freqs(self, freqs: Sequence[float]) -> None:
+        incs = jnp.asarray(
+            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
+             for f in freqs])
+        self.params = self.params._replace(
+            nco=self.params.nco._replace(phase_inc=incs))

@@ -1,0 +1,114 @@
+"""Sharding tests on the 8-device virtual CPU mesh: exactness of the
+time-sharded front-end vs the single-chip receiver, and channel banks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+from cutesdr_tpu.shard import ChannelBank, ShardedReceiver, make_mesh
+from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator, tone
+
+C64 = jnp.complex64
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _stream(cfg, n_superblocks, n_dev):
+    gen = SignalGenerator(GenConfig(sample_rate=cfg.input_rate,
+                                    sweep_start_hz=19_000.0,
+                                    sweep_stop_hz=22_000.0,
+                                    sweep_rate_hz_per_sec=1e4,
+                                    signal_power_db=-20.0,
+                                    noise_power_db=-50.0))
+    return gen.next_block(cfg.block_size * n_dev * n_superblocks)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_timeshard_matches_single_chip(n_dev):
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=20_000.0, audio_rate=48000.0)
+    mesh = make_mesh(time=n_dev)
+    x = _stream(cfg, 2, n_dev)
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+
+    for sb in range(2):
+        xs = x[sb * srx.superblock_size:(sb + 1) * srx.superblock_size]
+        out_s = srx.process(jnp.asarray(xs, C64))
+        audio_s = np.asarray(out_s.audio)[:int(out_s.n_audio)]
+        # single-chip processes the same superblock in n_dev blocks
+        ref_audio = []
+        for b in range(n_dev):
+            o = rx.process(jnp.asarray(
+                xs[b * cfg.block_size:(b + 1) * cfg.block_size], C64))
+            ref_audio.append(np.asarray(o.audio)[:int(o.n_audio)])
+        ref_audio = np.concatenate(ref_audio)
+        assert len(audio_s) == len(ref_audio)
+        scale = max(np.abs(ref_audio).max(), 1e-6)
+        np.testing.assert_allclose(audio_s, ref_audio, atol=5e-4 * scale)
+        np.testing.assert_allclose(float(out_s.smeter_ave_db),
+                                   float(o.smeter_ave_db), atol=0.1)
+
+
+def test_timeshard_stateful_across_superblocks():
+    """Carry handoff: processing 3 superblocks through the sharded receiver
+    equals one long single-chip run (no seams at superblock boundaries)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="am",
+                         tune_freq=100_000.0, audio_rate=None, agc_on=False)
+    n_dev = 4
+    mesh = make_mesh(time=n_dev)
+    fs = cfg.input_rate
+    n = cfg.block_size * n_dev * 3
+    t = np.arange(n) / fs
+    env = 3000.0 * (1.0 + 0.5 * np.cos(2 * np.pi * 400.0 * t))
+    x = env * np.exp(1j * 2 * np.pi * 100_000.0 * t)
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+    got, want = [], []
+    for sb in range(3):
+        xs = x[sb * srx.superblock_size:(sb + 1) * srx.superblock_size]
+        got.append(np.asarray(srx.process(jnp.asarray(xs, C64)).audio))
+        for b in range(n_dev):
+            want.append(np.asarray(rx.process(jnp.asarray(
+                xs[b * cfg.block_size:(b + 1) * cfg.block_size], C64)).audio))
+    got, want = np.concatenate(got), np.concatenate(want)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-3 * scale)
+
+
+def test_channel_bank_unsharded():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None,
+                         agc_on=False)
+    freqs = [10_000.0, 50_000.0, 120_000.0, 200_000.0]
+    bank = ChannelBank(cfg, freqs)
+    # put a tone on channel 2's frequency (+1 kHz audio)
+    x = tone(cfg.block_size * 2, 120_000.0 + 1000.0, cfg.input_rate, -20.0)
+    for b in range(2):
+        out = bank.process(jnp.asarray(
+            x[b * cfg.block_size:(b + 1) * cfg.block_size], C64))
+    audio = np.asarray(out.audio)          # [4, block]
+    powers = (audio ** 2).mean(axis=1)
+    assert powers[2] > 100 * powers[0]
+    assert powers[2] > 100 * powers[1]
+    assert powers[2] > 100 * powers[3]
+
+
+def test_channel_bank_sharded_matches_unsharded():
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="am", audio_rate=None,
+                         agc_on=False)
+    freqs = [5_000.0 * (i + 1) for i in range(8)]
+    mesh = make_mesh(channels=4)
+    x = tone(cfg.block_size, 20_000.0, cfg.input_rate, -20.0)
+
+    bank_s = ChannelBank(cfg, freqs, mesh=mesh)
+    bank_u = ChannelBank(cfg, freqs)
+    out_s = bank_s.process(jnp.asarray(x, C64))
+    out_u = bank_u.process(jnp.asarray(x, C64))
+    scale = np.abs(np.asarray(out_u.audio)).max()
+    np.testing.assert_allclose(np.asarray(out_s.audio),
+                               np.asarray(out_u.audio), atol=1e-5 * scale)
