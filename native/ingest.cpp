@@ -1,0 +1,180 @@
+// High-rate UDP IQ ingest: socket receiver thread + lock-free SPSC ring
+// buffer of float32 I/Q samples, with int24/int16 payload decoding and
+// sequence-gap accounting.
+//
+// This is the native-runtime equivalent of the reference's CUdpThread +
+// ring FIFO (interface/netiobase.cpp:439-534, 571-600), built for the
+// 20 MSPS multi-host configs where a Python receive loop cannot keep up.
+// Exposed through a plain C ABI consumed via ctypes (cutesdr_tpu/io/
+// native_ingest.py).
+//
+// Packet format (RFSPACE ASCP data items):
+//   [u16 header][u16 sequence][payload]
+//   1444-byte packets: 240 complex samples of 24-bit LE I/Q (scaled /256
+//     into the +-32k float range)
+//   1028-byte packets: 342 complex samples of 16-bit LE I/Q
+
+#include <arpa/inet.h>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+constexpr int kPkt24 = 1444;
+constexpr int kPkt16 = 1028;
+
+struct Ingest {
+  int fd = -1;
+  std::thread rx_thread;
+  std::atomic<bool> quit{false};
+
+  // SPSC ring of interleaved float32 I/Q (2 floats per complex sample)
+  std::vector<float> ring;
+  size_t ring_mask = 0;                    // ring size (complex) - 1
+  std::atomic<uint64_t> head{0};           // producer position (complex)
+  std::atomic<uint64_t> tail{0};           // consumer position (complex)
+
+  std::atomic<int64_t> missed{0};
+  std::atomic<uint64_t> packets{0};
+  std::atomic<uint64_t> dropped{0};        // samples lost to ring overrun
+  uint16_t last_seq = 0;
+};
+
+void decode_and_push(Ingest* ig, const uint8_t* buf, ssize_t size) {
+  float tmp[2 * 360];
+  int n = 0;
+  if (size == kPkt24) {
+    for (int i = 4; i + 2 < size; i += 3) {
+      int32_t v = buf[i] | (buf[i + 1] << 8) | (buf[i + 2] << 16);
+      if (v & 0x800000) v -= (1 << 24);
+      tmp[n++] = static_cast<float>(v) / 256.0f;
+    }
+  } else if (size == kPkt16) {
+    for (int i = 4; i + 1 < size; i += 2) {
+      int16_t v = static_cast<int16_t>(buf[i] | (buf[i + 1] << 8));
+      tmp[n++] = static_cast<float>(v);
+    }
+  } else {
+    return;
+  }
+
+  uint16_t seq = buf[2] | (buf[3] << 8);
+  if (seq == 0) ig->last_seq = 0;
+  if (seq != ig->last_seq) {
+    ig->missed += static_cast<int16_t>(seq) -
+                  static_cast<int16_t>(ig->last_seq);
+    ig->last_seq = seq;
+  }
+  ig->last_seq++;
+  if (ig->last_seq == 0) ig->last_seq = 1;
+  ig->packets++;
+
+  const size_t ncpx = n / 2;
+  uint64_t head = ig->head.load(std::memory_order_relaxed);
+  uint64_t tail = ig->tail.load(std::memory_order_acquire);
+  size_t cap = ig->ring_mask + 1;
+  if (head + ncpx - tail > cap) {          // overrun: drop this packet
+    ig->dropped += ncpx;
+    return;
+  }
+  for (size_t i = 0; i < ncpx; ++i) {
+    size_t slot = (head + i) & ig->ring_mask;
+    ig->ring[2 * slot] = tmp[2 * i];
+    ig->ring[2 * slot + 1] = tmp[2 * i + 1];
+  }
+  ig->head.store(head + ncpx, std::memory_order_release);
+}
+
+void rx_loop(Ingest* ig) {
+  uint8_t buf[2048];
+  while (!ig->quit.load(std::memory_order_relaxed)) {
+    ssize_t r = recv(ig->fd, buf, sizeof(buf), 0);
+    if (r > 0) decode_and_push(ig, buf, r);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ring_log2: ring capacity = 2^ring_log2 complex samples
+void* ingest_create(uint16_t port, int ring_log2) {
+  auto* ig = new Ingest;
+  ig->ring.assign(size_t(2) << ring_log2, 0.0f);
+  ig->ring_mask = (size_t(1) << ring_log2) - 1;
+
+  ig->fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (ig->fd < 0) { delete ig; return nullptr; }
+  int rcvbuf = 8 * 1024 * 1024;
+  setsockopt(ig->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  int reuse = 1;
+  setsockopt(ig->fd, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
+  timeval tv{0, 100000};  // 100 ms poll so the thread can observe quit
+  setsockopt(ig->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(port);
+  if (bind(ig->fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0) {
+    close(ig->fd);
+    delete ig;
+    return nullptr;
+  }
+  ig->rx_thread = std::thread(rx_loop, ig);
+  return ig;
+}
+
+// Blocking read of up to n complex samples into out (interleaved float32
+// I/Q).  Returns the number of complex samples read (0 on timeout).
+int64_t ingest_read(void* h, float* out, int64_t n, int timeout_ms) {
+  auto* ig = static_cast<Ingest*>(h);
+  const auto deadline =
+      std::chrono::steady_clock::now() + std::chrono::milliseconds(timeout_ms);
+  for (;;) {
+    uint64_t head = ig->head.load(std::memory_order_acquire);
+    uint64_t tail = ig->tail.load(std::memory_order_relaxed);
+    int64_t avail = static_cast<int64_t>(head - tail);
+    if (avail >= n) {
+      for (int64_t i = 0; i < n; ++i) {
+        size_t slot = (tail + i) & ig->ring_mask;
+        out[2 * i] = ig->ring[2 * slot];
+        out[2 * i + 1] = ig->ring[2 * slot + 1];
+      }
+      ig->tail.store(tail + n, std::memory_order_release);
+      return n;
+    }
+    if (std::chrono::steady_clock::now() >= deadline) return 0;
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+  }
+}
+
+int64_t ingest_available(void* h) {
+  auto* ig = static_cast<Ingest*>(h);
+  return static_cast<int64_t>(ig->head.load() - ig->tail.load());
+}
+
+void ingest_stats(void* h, int64_t* missed, uint64_t* packets,
+                  uint64_t* dropped) {
+  auto* ig = static_cast<Ingest*>(h);
+  if (missed) *missed = ig->missed.load();
+  if (packets) *packets = ig->packets.load();
+  if (dropped) *dropped = ig->dropped.load();
+}
+
+void ingest_destroy(void* h) {
+  auto* ig = static_cast<Ingest*>(h);
+  ig->quit = true;
+  if (ig->rx_thread.joinable()) ig->rx_thread.join();
+  if (ig->fd >= 0) close(ig->fd);
+  delete ig;
+}
+
+}  // extern "C"
