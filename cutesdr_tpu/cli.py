@@ -1,0 +1,191 @@
+"""Command-line entry point.
+
+Reference analogue: the Qt application shell (gui/main.cpp + MainWindow
+orchestration) — here a headless CLI:
+
+  cutesdr-tpu run       stream a source through the receiver to a WAV file
+  cutesdr-tpu spectrum  print/export averaged spectrum frames from a source
+  cutesdr-tpu discover  find RFSPACE radios on the LAN
+  cutesdr-tpu bench     run the throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_receiver_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--source", default="sweep",
+                   help="'sweep', 'tone:FREQ', 'file:PATH[:fmt]', or "
+                        "'udp:PORT' (native ingest)")
+    p.add_argument("--fs", type=float, default=2e6, help="input sample rate")
+    p.add_argument("--mode", default="usb",
+                   choices=["am", "sam", "fm", "usb", "lsb", "cwu", "cwl"])
+    p.add_argument("--freq", type=float, default=100e3,
+                   help="tune frequency within the passband (Hz)")
+    p.add_argument("--low-cut", type=float, default=None)
+    p.add_argument("--hi-cut", type=float, default=None)
+    p.add_argument("--cw-offset", type=float, default=0.0)
+    p.add_argument("--agc-off", action="store_true")
+    p.add_argument("--nb-on", action="store_true")
+    p.add_argument("--squelch", type=int, default=0)
+    p.add_argument("--stereo", action="store_true")
+    p.add_argument("--volume", type=int, default=99)
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--probe", type=int, default=0,
+                   help="dump probe tap N (1..7) to probeN.npy")
+
+
+def _make_source(args, block_size):
+    from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator
+
+    spec = args.source
+    if spec == "sweep":
+        gen = SignalGenerator(GenConfig(
+            sample_rate=args.fs, sweep_start_hz=args.freq - 50e3,
+            sweep_stop_hz=args.freq + 50e3, sweep_rate_hz_per_sec=20e3,
+            signal_power_db=-20.0, noise_power_db=-90.0))
+        return lambda: gen.next_block(block_size)
+    if spec.startswith("tone:"):
+        gen = SignalGenerator(GenConfig(
+            sample_rate=args.fs, sweep_start_hz=float(spec[5:]),
+            sweep_stop_hz=float(spec[5:]), signal_power_db=-20.0))
+        return lambda: gen.next_block(block_size)
+    if spec.startswith("file:"):
+        from cutesdr_tpu.io.filesource import FileSource
+        parts = spec.split(":")
+        src = FileSource(parts[1], parts[2] if len(parts) > 2 else "int16")
+        return lambda: src.next_block(block_size)
+    if spec.startswith("udp:"):
+        from cutesdr_tpu.io.native_ingest import NativeIngest
+        ing = NativeIngest(int(spec[4:]))
+        return lambda: ing.read(block_size, timeout_ms=2000)
+    raise SystemExit(f"unknown source {spec!r}")
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from cutesdr_tpu.io.filesource import WavSink
+    from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+
+    cfg = ReceiverConfig(
+        input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
+        low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
+        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
+        stereo=args.stereo, probes=args.probe > 0)
+    rx = Receiver(cfg)
+    rx.set_volume(args.volume)
+    source = _make_source(args, cfg.block_size)
+
+    n_blocks = max(1, int(args.seconds * args.fs / cfg.block_size))
+    probes = []
+    t0 = time.time()
+    with WavSink(args.out, 48000, args.stereo) as wav:
+        for i in range(n_blocks):
+            iq = source()
+            if iq is None:
+                break
+            out = rx.process(jnp.asarray(iq, jnp.complex64))
+            audio = np.asarray(out.audio)[:int(out.n_audio)]
+            wav.write(audio)
+            if args.probe:
+                key = {1: "p1_downconvert", 2: "p2_fastfir", 3: "p3_agc",
+                       4: "p4_demod", 5: "p5_resampled",
+                       7: "p7_blanker"}[args.probe]
+                probes.append(np.asarray(out.probes[key]))
+            if i % 10 == 0:
+                print(f"block {i}/{n_blocks} s-meter "
+                      f"{float(out.smeter_ave_db):6.1f} dB", file=sys.stderr)
+    dt = time.time() - t0
+    if probes:
+        np.save(f"probe{args.probe}.npy", np.concatenate(probes))
+        print(f"wrote probe{args.probe}.npy", file=sys.stderr)
+    msps = n_blocks * cfg.block_size / dt / 1e6
+    print(f"processed {n_blocks * cfg.block_size} samples in {dt:.2f}s "
+          f"({msps:.2f} Msps) -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_spectrum(args) -> int:
+    from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
+
+    cfg = SpectrumConfig(fft_size=args.fft_size, ave_size=args.ave,
+                         sample_rate=args.fs)
+    sa = SpectrumAnalyzer(cfg, max_display_rate=1000.0)
+    args.mode, args.freq = "usb", 0.0
+    args.low_cut = args.hi_cut = None
+    source = _make_source(args, cfg.fft_size)
+    frames = 0
+    for _ in range(args.frames * max(1, args.ave)):
+        iq = source()
+        if iq is None:
+            break
+        if sa.feed(np.asarray(iq, np.complex64)):
+            frames += 1
+    db = sa.spectrum_db()
+    if args.out:
+        np.save(args.out, db)
+        print(f"wrote {args.out}", file=sys.stderr)
+    peak = int(np.argmax(db))
+    f_peak = (peak - cfg.fft_size // 2) * args.fs / cfg.fft_size
+    print(json.dumps({"frames": frames, "peak_bin": peak,
+                      "peak_freq_hz": f_peak,
+                      "peak_db": float(db[peak]),
+                      "noise_floor_db": float(np.median(db))}))
+    return 0
+
+
+def cmd_discover(args) -> int:
+    from cutesdr_tpu.io.discover import discover
+
+    devs = discover(timeout=args.timeout)
+    for d in devs:
+        print(json.dumps({"name": d.name, "serial": d.serial, "ip": d.ip,
+                          "port": d.port, "running": d.status_running}))
+    if not devs:
+        print("no devices found", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cutesdr-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="demodulate a stream to WAV")
+    _add_receiver_args(p_run)
+    p_run.add_argument("--out", default="audio.wav")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_spec = sub.add_parser("spectrum", help="spectrum frames from a source")
+    _add_receiver_args(p_spec)
+    p_spec.add_argument("--fft-size", type=int, default=4096)
+    p_spec.add_argument("--ave", type=int, default=4)
+    p_spec.add_argument("--frames", type=int, default=10)
+    p_spec.add_argument("--out", default="")
+    p_spec.set_defaults(fn=cmd_spectrum)
+
+    p_disc = sub.add_parser("discover", help="find radios on the LAN")
+    p_disc.add_argument("--timeout", type=float, default=0.5)
+    p_disc.set_defaults(fn=cmd_discover)
+
+    p_bench = sub.add_parser("bench", help="throughput benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
