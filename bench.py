@@ -14,10 +14,22 @@ PCIe, and double-buffered in production).  Details go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the axon remote-compile path is slow
+    (minutes per program), so cache compiled executables across runs."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_receiver(frames_per_block=16, n_iters=30, warmup=3):
@@ -65,6 +77,7 @@ def main():
     dev = None
     try:
         import jax
+        _enable_compile_cache()
         dev = jax.devices()[0]
         print(f"device: {dev}", file=sys.stderr)
         msps = bench_receiver()
