@@ -66,11 +66,34 @@ def ema(alpha, x: jax.Array, init) -> jax.Array:
 def sliding_window_max(x: jax.Array, window: int, init_tail: jax.Array):
     """Max over the trailing ``window`` samples (inclusive of current) for
     each position of ``x``; ``init_tail`` is the window-1 history.  Returns
-    (per-sample maxima, new tail).  Uses reduce_window (parallel, no rescan —
-    unlike the reference's O(W) peak-expiry search, dsp/agc.cpp:209-231)."""
-    z = jnp.concatenate([init_tail, x], axis=-1)
-    y = lax.reduce_window(z, -jnp.inf, lax.max, (window,), (1,), "valid")
-    return y, z[..., z.shape[-1] - (window - 1):]
+    (per-sample maxima, new tail).
+
+    Van Herk–Gil-Werman: two block-wise cummax passes give every sliding
+    maximum in O(1) ops/sample regardless of window size (the reference
+    rescans O(W) on peak expiry, dsp/agc.cpp:209-231; a naive reduce_window
+    is O(W)/sample and makes XLA:TPU compile time explode for ms-scale
+    windows)."""
+    w = int(window)
+    z = jnp.concatenate([init_tail, x], axis=-1)      # length n + w - 1
+    new_tail = z[..., z.shape[-1] - (w - 1):] if w > 1 else z[..., :0]
+    if w == 1:
+        return x, new_tail
+    n = x.shape[-1]
+    L = z.shape[-1]
+    pad = (-L) % w
+    neg_inf = jnp.asarray(-jnp.inf, z.dtype)
+    zp = jnp.concatenate(
+        [z, jnp.full(z.shape[:-1] + (pad,), neg_inf, z.dtype)], axis=-1)
+    blocks = zp.reshape(zp.shape[:-1] + (-1, w))
+    ax = blocks.ndim - 1                  # lax.cummax rejects negative axes
+    pre = lax.cummax(blocks, axis=ax)                              # block prefix max
+    suf = jnp.flip(lax.cummax(jnp.flip(blocks, -1), axis=ax), -1)  # block suffix max
+    pre_f = pre.reshape(zp.shape)
+    suf_f = suf.reshape(zp.shape)
+    # window [i, i+w-1] spans at most two w-blocks: suffix of the first,
+    # prefix of the second
+    y = jnp.maximum(suf_f[..., :n], pre_f[..., w - 1:w - 1 + n])
+    return y, new_tail
 
 
 def moving_sum(x: jax.Array, window: int, init_tail: jax.Array):
