@@ -49,7 +49,9 @@ def process(params: SMeterParams, carry: SMeterCarry,
     """Returns (carry', per-sample dB magnitudes); read meter via getters."""
     rdtype = jnp.real(x).dtype
     pwr = (x.real * x.real + x.imag * x.imag) / MAX_PWR
-    mag = (10.0 * jnp.log10(pwr + 1e-50)).astype(rdtype)
+    # floor at -160 dBFS: the reference's 1e-50 guard would underflow to 0
+    # in float32 and poison the averagers with -inf
+    mag = (10.0 * jnp.log10(jnp.maximum(pwr, 1e-16))).astype(rdtype)
 
     def step(c, m):
         a, d, avg = c
