@@ -1,0 +1,150 @@
+"""Extended benchmark suite: the five BASELINE.json configurations.
+
+  1. AM chain at 2 MSPS (testbench carrier -> downconvert+filter+AM demod)
+  2. SSB chain at 2 MSPS (decimate, complex bandpass, SSB + AGC)
+  3. FM with noise blanker + resampler to 48 kHz
+  4. 64-channel SSB/AM bank from one 10 MSPS stream
+  5. full receiver at 20 MSPS with 4096-pt spectrum FFT + S-meter
+
+Each prints a JSON line to stdout and writes BENCH_DETAILS.json; bench.py
+remains the driver's single-line entry point.
+
+Usage:  python -m cutesdr_tpu.bench_suite [--iters N] [--only k]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _timeit(step, args, n_iters, state_idx=1):
+    """Time n_iters chained steps (state threads through), excluding the
+    first call (compile)."""
+    import jax
+    out = step(*args)
+    jax.block_until_ready(out)
+    state = out[0]
+
+    def run(k):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            o = step(args[0], s, *args[2:])
+            s = o[0]
+        jax.block_until_ready(o)
+        return time.perf_counter() - t0
+
+    t1 = run(1)
+    tn = run(n_iters + 1)
+    return (tn - t1) / n_iters
+
+
+def bench_receiver_cfg(name, cfg, n_iters, extras=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.pipeline import receiver as rx
+
+    params, state = rx.init(cfg)
+    step = jax.jit(lambda p, s, x: rx.receiver_step(cfg, p, s, x))
+    rng = np.random.default_rng(3)
+    x = ((rng.standard_normal(cfg.block_size)
+          + 1j * rng.standard_normal(cfg.block_size)) * 300).astype(np.complex64)
+    iq = jax.device_put(jnp.asarray(x))
+    per_step = _timeit(step, (params, state, iq), n_iters)
+    msps = cfg.block_size / per_step / 1e6
+    return {"config": name, "input_rate": cfg.input_rate, "mode": cfg.mode,
+            "block": cfg.block_size, "ms_per_step": round(per_step * 1e3, 3),
+            "iq_msps": round(msps, 1),
+            "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
+            **(extras or {})}
+
+
+def bench_channel_bank(n_iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.shard import ChannelBank
+
+    cfg = ReceiverConfig(input_rate=10_000_000.0, mode="usb",
+                         audio_rate=48000.0)
+    freqs = [(-4.5e6 + 140_000.0 * i) for i in range(64)]
+    bank = ChannelBank(cfg, freqs)
+    rng = np.random.default_rng(4)
+    x = ((rng.standard_normal(cfg.block_size)
+          + 1j * rng.standard_normal(cfg.block_size)) * 300).astype(np.complex64)
+    iq = jax.device_put(jnp.asarray(x))
+
+    out = bank.process(iq)
+    jax.block_until_ready(out.audio)
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            o = bank.process(iq)
+        jax.block_until_ready(o.audio)
+        return time.perf_counter() - t0
+
+    t1 = run(1)
+    tn = run(n_iters + 1)
+    per_step = (tn - t1) / n_iters
+    msps = cfg.block_size / per_step / 1e6
+    return {"config": "64ch_bank_10msps", "channels": 64,
+            "input_rate": cfg.input_rate, "block": cfg.block_size,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "iq_msps": round(msps, 1),
+            "channel_msps": round(msps * 64, 1),
+            "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", type=int, default=0, help="run one config 1-5")
+    args = ap.parse_args(argv)
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    results = []
+    runs = {
+        1: lambda: bench_receiver_cfg(
+            "am_2msps", ReceiverConfig(input_rate=2e6, mode="am",
+                                       audio_rate=None), args.iters),
+        2: lambda: bench_receiver_cfg(
+            "ssb_2msps", ReceiverConfig(input_rate=2e6, mode="usb",
+                                        audio_rate=None), args.iters),
+        3: lambda: bench_receiver_cfg(
+            "fm_nb_resamp_2msps", ReceiverConfig(input_rate=2e6, mode="fm",
+                                                 nb_on=True,
+                                                 audio_rate=48000.0),
+            args.iters),
+        4: bench_channel_bank if False else lambda: bench_channel_bank(args.iters),
+        5: lambda: bench_receiver_cfg(
+            "full_20msps", ReceiverConfig(input_rate=20_000_000.0,
+                                          mode="usb", audio_rate=48000.0),
+            args.iters),
+    }
+    for k in sorted(runs):
+        if args.only and k != args.only:
+            continue
+        try:
+            r = runs[k]()
+        except Exception as e:   # keep going; report the failure
+            r = {"config": f"#{k}", "error": repr(e)[:300]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote BENCH_DETAILS.json ({len(results)} configs)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,23 +2,29 @@
 
 The XLA-composed front end materializes the mixed stream to HBM between the
 NCO multiply and the decimation conv (~24 B of HBM traffic per input
-sample); this kernel streams raw input tiles HBM→VMEM with in-kernel DMA
-(overlapping windows via dynamic offsets — BlockSpec windows can't overlap)
-and keeps the mixed tile in VMEM, so HBM sees the raw input once plus the
-small decimated output (~8.3 B/sample) — the front end is bandwidth-bound,
-so that bound is the speed of light this kernel chases.
+sample); this kernel streams raw input HBM→VMEM once, mixes in VMEM, and
+writes only the decimated output (~8.2 B/sample) — the front end is
+bandwidth-bound, so that bound is the speed of light this kernel chases.
 
-Per grid step (one tile of TO output samples, decimation D):
-  1. DMA z[i·TO·D : i·TO·D + TO·D + halo] into VMEM scratch (halo =
-     composed-FIR history; the host prepends the carried *raw* tail so tile
-     windows never index negatively),
-  2. phases from the exact uint32 DDS accumulator; tail samples sit before
-     the block start, handled by unsigned wraparound
-     (acc = base + (g − halo)·inc mod 2³², see ops/nco.py),
-  3. mix in VMEM (complex multiply as two f32 planes),
-  4. polyphase reduction: frames F[m, p] = mixed[m·D + p] give
-     y[n] = Σ_k F[n+k, :] · h_k  — one [TO+K−1, D] × [D, K] MXU matmul,
-     then a K-band diagonal sum.
+Mosaic layout strategy (TPU tiles are (8 sublanes, 128 lanes); arbitrary
+reshapes/unaligned slices are not lowerable):
+
+  * the raw stream keeps its natural layout, viewed host-side as rows of
+    128 consecutive samples: Z[m, q] = z[128·m + q] — a free reshape;
+  * each grid step DMAs a row-aligned window (overlapping windows via
+    dynamic row offsets — BlockSpec windows cannot overlap),
+  * oscillator phases come from the exact uint32 DDS accumulator on a 2-D
+    iota (tail samples sit before the block start; unsigned wraparound
+    handles the negative offsets — see ops/nco.py),
+  * decimation-by-D outputs split by residue r = n mod R (R = 128/D):
+    y[R·n' + r] = Σ_c  Z[n'+c, :] · W4[:, R·c+r]  — ONE
+    [rows, 128] × [128, R·C] MXU matmul with a full 128-wide contraction,
+    then a C-band diagonal sum per residue, where
+    W4[q, R·c+r] = w[128·c + q − D·r] places the (flipped, zero-padded)
+    composed taps per residue;
+  * the output block is [2R, TO4] (re residues stacked over im residues),
+    satisfying the (8, 128) tiling rule; the host interleaves residues back
+    to time order at the (cheap) decimated rate.
 
 Equivalence with ops.nco.process + ops.decimator.fused_process is asserted
 in tests/test_kernels.py (interpret mode on CPU, compiled on TPU).
@@ -40,104 +46,132 @@ from cutesdr_tpu.ops import decimator as dec_ops
 from cutesdr_tpu.types import K_2PI
 
 _TWO32 = 4294967296.0
+LANE = 128
 
 
 def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
-            z_re_ref, z_im_ref,     # ANY/HBM: [n + halo]
-            hmat_ref,               # VMEM [D, K]
-            y_re_ref, y_im_ref,     # VMEM out tiles [1, TO]
-            *, TO: int, D: int, K: int, halo: int):
-    n_in = TO * D + halo
+            z_re_ref, z_im_ref,     # ANY: [rows, 128] raw stream views
+            w4_ref,                 # VMEM [128, R*C] residue tap matrix
+            y_ref,                  # VMEM out [2R, TO4]
+            *, TO4: int, R: int, C: int, halo_rows: int):
+    m_rows = TO4 + C - 1
     i = pl.program_id(0)
 
     def body(zr_s, zi_s, sem):
-        start = pl.multiple_of(i * (TO * D), TO * D)
-        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(start, n_in)],
-                                    zr_s.at[0], sem.at[0])
-        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(start, n_in)],
-                                    zi_s.at[0], sem.at[1])
+        row0 = pl.multiple_of(i * TO4, TO4)
+        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, m_rows)],
+                                    zr_s, sem.at[0])
+        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, m_rows)],
+                                    zi_s, sem.at[1])
         cp1.start()
         cp2.start()
 
         base = scalars_ref[0]
         inc = scalars_ref[1]
-        g = jax.lax.broadcasted_iota(jnp.uint32, (1, n_in), 1)
-        offs = (jnp.uint32(i) * jnp.uint32(TO * D)) + g - jnp.uint32(halo)
+        # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*128 + q
+        m_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, LANE), 0)
+        q_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, LANE), 1)
+        offs = ((jnp.uint32(i * TO4) + m_ids - jnp.uint32(halo_rows))
+                * jnp.uint32(LANE) + q_ids)
         acc = base + offs * inc
-        ang = acc.astype(jnp.float32) * jnp.float32(K_2PI / _TWO32)
+        # Mosaic can't cast uint32->f32; reinterpret as int32, which maps
+        # the phase to [-pi, pi) — identical modulo 2*pi
+        ang = (pltpu.bitcast(acc, jnp.int32).astype(jnp.float32)
+               * jnp.float32(K_2PI / _TWO32))
         osc_re = jnp.cos(ang)
         osc_im = jnp.sin(ang)
 
         cp1.wait()
         cp2.wait()
-        zr = zr_s[0].reshape(1, n_in)
-        zi = zi_s[0].reshape(1, n_in)
+        zr = zr_s[:]
+        zi = zi_s[:]
         mre = zr * osc_re - zi * osc_im
         mim = zr * osc_im + zi * osc_re
 
-        m_rows = TO + K - 1
-        fre = mre.reshape(n_in)[: m_rows * D].reshape(m_rows, D)
-        fim = mim.reshape(n_in)[: m_rows * D].reshape(m_rows, D)
-        h = hmat_ref[:]
-        pre = jnp.dot(fre, h, preferred_element_type=jnp.float32)
-        pim = jnp.dot(fim, h, preferred_element_type=jnp.float32)
+        w4 = w4_ref[:]
+        pre = jnp.dot(mre, w4, preferred_element_type=jnp.float32)
+        pim = jnp.dot(mim, w4, preferred_element_type=jnp.float32)
 
-        acc_re = jnp.zeros((TO,), jnp.float32)
-        acc_im = jnp.zeros((TO,), jnp.float32)
-        for k in range(K):   # y[n] = sum_k P[n+k, k]
-            acc_re = acc_re + jax.lax.dynamic_slice(pre, (k, k), (TO, 1))[:, 0]
-            acc_im = acc_im + jax.lax.dynamic_slice(pim, (k, k), (TO, 1))[:, 0]
-        y_re_ref[:] = acc_re.reshape(1, TO)
-        y_im_ref[:] = acc_im.reshape(1, TO)
+        for r in range(R):           # y[R n' + r] = sum_c P[n' + c, R c + r]
+            acc_re = jnp.zeros((TO4,), jnp.float32)
+            acc_im = jnp.zeros((TO4,), jnp.float32)
+            for c in range(C):
+                acc_re = acc_re + pre[c:c + TO4, R * c + r]
+                acc_im = acc_im + pim[c:c + TO4, R * c + r]
+            y_ref[r, :] = acc_re
+            y_ref[R + r, :] = acc_im
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((1, n_in), jnp.float32),
-        pltpu.VMEM((1, n_in), jnp.float32),
+        pltpu.VMEM((m_rows, LANE), jnp.float32),
+        pltpu.VMEM((m_rows, LANE), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 class MixDecParams(NamedTuple):
-    hmat: jax.Array          # [D, K] polyphase matrix of padded flipped taps
+    w4: jax.Array            # [128, R*C] residue-decomposed taps
     phase_inc: jax.Array     # uint32
 
 
 class MixDecCarry(NamedTuple):
-    raw_tail: jax.Array      # [halo] raw complex input history
+    raw_tail: jax.Array      # [halo_rows*128] raw complex input history
     phase_base: jax.Array    # uint32 phase at block start
 
 
 class MixDecimate:
     """Streaming wrapper equivalent to nco.process + decimator.fused_process
     (the carried history is *raw* input; back-dated oscillator phases come
-    from uint32 wraparound)."""
+    from uint32 wraparound).  Requires 128 % decimation == 0."""
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
                  tile_out: int = 512, interpret: bool = False):
         from cutesdr_tpu.ops import nco as nco_ops
 
         self.plan = plan
-        self.D = plan.decimation
+        D = self.D = plan.decimation
+        if LANE % D:
+            raise ValueError(f"decimation {D} must divide {LANE}")
+        self.R = LANE // D
         h = np.asarray(plan.composed_taps())[::-1]       # flipped (corr form)
         d = dec_ops.total_offset(plan)
         L = len(h)
-        # fused corr: y[n] = sum_{j} h[L-1-j]... over z2=[tail(L-1-d), x];
-        # pad to K*D with the taps shifted so tail length halo=(K-1)*D
-        self.K = int(np.ceil((L - 1 - d) / self.D)) + 1
-        Lp = self.K * self.D
-        self.halo = Lp - self.D
-        w = np.zeros(Lp)
-        shift = self.halo - (L - 1 - d)
-        w[shift:shift + L] = h
-        self.hmat = w.reshape(self.K, self.D).T.copy()   # [D, K]
-        self.TO = tile_out
+        # raw history needed: L-1-d samples, rounded up to whole lane rows
+        self.halo_rows = int(np.ceil((L - 1 - d) / LANE))
+        halo = self.halo_rows * LANE
+        shift = halo - (L - 1 - d)
+        # padded window taps: y[n] = sum_j w_pad[j] z[n*D + j] over
+        # z = [tail(halo), x]
+        w_len = shift + L
+        w_pad = np.zeros(w_len)
+        w_pad[shift:shift + L] = h
+        # residue decomposition: output n = R*n' + r looks at samples
+        # n*D + j = n'*128 + (r*D + j); with q = (r*D + j) mod 128 and
+        # c = (r*D + j) // 128:  W4[q, R*c + r] = w_pad[128*c + q - r*D]
+        self.C = int(np.ceil((w_len + (self.R - 1) * D) / LANE))
+        w4 = np.zeros((LANE, self.R * self.C))
+        for r in range(self.R):
+            for c in range(self.C):
+                q0 = r * D - LANE * c       # j = 128c + q - rD >= 0 <=> q >= q0
+                lo = max(0, q0)
+                hi = min(LANE, q0 + w_len)
+                if lo < hi:
+                    w4[lo:hi, self.R * c + r] = w_pad[lo - q0:hi - q0]
+        self.w4 = w4
+        if tile_out % self.R:
+            raise ValueError(f"tile_out must be a multiple of {self.R}")
+        self.TO = tile_out                   # output samples per tile
+        self.TO4 = tile_out // self.R        # output columns per residue row
         self.interpret = interpret
         self._nco = nco_ops
         self.params = MixDecParams(
-            hmat=jnp.asarray(self.hmat, jnp.float32),
+            w4=jnp.asarray(w4, jnp.float32),
             phase_inc=jnp.asarray(
                 nco_ops.phase_increment(tune_freq, plan.in_rate)))
+
+    @property
+    def halo(self) -> int:
+        return self.halo_rows * LANE
 
     def init_carry(self) -> MixDecCarry:
         return MixDecCarry(
@@ -152,15 +186,23 @@ class MixDecimate:
     def __call__(self, params: MixDecParams, carry: MixDecCarry,
                  x: jax.Array) -> tuple[MixDecCarry, jax.Array]:
         n = x.shape[-1]
-        TO, D, K, halo = self.TO, self.D, self.K, self.halo
-        if n % (TO * D):
-            raise ValueError(f"block {n} not a multiple of tile {TO * D}")
-        n_tiles = n // (TO * D)
+        TO4, R, C = self.TO4, self.R, self.C
+        samples_per_tile = TO4 * LANE
+        if n % samples_per_tile:
+            raise ValueError(f"block {n} not a multiple of {samples_per_tile}")
+        n_tiles = n // samples_per_tile
         z = jnp.concatenate([carry.raw_tail, x])
+        new_tail = z[z.shape[-1] - self.halo:]
+        # pad right so the last tile's window (TO4 + C - 1 rows) exists
+        zp = jnp.concatenate([z, jnp.zeros((C - 1) * LANE, z.dtype)])
         scalars = jnp.stack([carry.phase_base, params.phase_inc])
+        rows = zp.shape[-1] // LANE
+        z_re = zp.real.reshape(rows, LANE)
+        z_im = zp.imag.reshape(rows, LANE)
 
-        kernel = functools.partial(_kernel, TO=TO, D=D, K=K, halo=halo)
-        y_re, y_im = pl.pallas_call(
+        kernel = functools.partial(_kernel, TO4=TO4, R=R, C=C,
+                                   halo_rows=self.halo_rows)
+        y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -170,20 +212,18 @@ class MixDecimate:
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
-                out_specs=(
-                    pl.BlockSpec((1, TO), lambda i, s: (i, 0)),
-                    pl.BlockSpec((1, TO), lambda i, s: (i, 0)),
-                ),
+                out_specs=pl.BlockSpec((2 * R, TO4), lambda i, s: (0, i)),
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((n_tiles, TO), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, TO), jnp.float32),
-            ),
+            out_shape=jax.ShapeDtypeStruct((2 * R, n_tiles * TO4),
+                                           jnp.float32),
             interpret=self.interpret,
-        )(scalars, z.real, z.imag, params.hmat)
+        )(scalars, z_re, z_im, params.w4)
 
-        y = jax.lax.complex(y_re.reshape(-1), y_im.reshape(-1))
+        # interleave residues back to time order: y[R n' + r] = y4[r, n']
+        y_re = y4[:R].T.reshape(-1)
+        y_im = y4[R:].T.reshape(-1)
+        y = jax.lax.complex(y_re, y_im)
         new_carry = MixDecCarry(
-            raw_tail=z[z.shape[-1] - halo:],
+            raw_tail=new_tail,
             phase_base=carry.phase_base + jnp.uint32(n) * params.phase_inc)
         return new_carry, y

@@ -71,6 +71,44 @@ def init_carry(cfg: BlankerConfig, cdtype=jnp.complex64,
         sig_tail=jnp.zeros(cfg.delay_samples + 1, cdtype))
 
 
+def history_len(cfg: BlankerConfig) -> int:
+    """Raw-sample history needed to compute one output exactly: the delayed
+    signal path reaches back delay+1 samples, and the trigger for the oldest
+    dilation position needs a further mag-window of history."""
+    return max(cfg.delay_samples + 1,
+               (cfg.width_samples - 1) + (cfg.mag_samples + 1))
+
+
+def process_with_history(cfg: BlankerConfig, z: jax.Array,
+                         n: int) -> jax.Array:
+    """Stateless form over z = [history | block]: emit the last ``n``
+    outputs.  Used by the time-sharded receiver, where the history is a
+    ppermute'd halo instead of carried tails."""
+    if not cfg.on:
+        return z[..., z.shape[-1] - n:]
+    rdtype = jnp.real(z).dtype
+    H = z.shape[-1] - n
+    mag = jnp.maximum(jnp.abs(z.real), jnp.abs(z.imag)).astype(rdtype)
+    # moving sum over mag window for every position that dilation can see
+    need = n + cfg.width_samples - 1
+    wm = cfg.mag_samples + 1
+    mg = mag[..., z.shape[-1] - (need + wm - 1):]
+    c = jnp.cumsum(mg, axis=-1)
+    zero = jnp.zeros(c.shape[:-1] + (1,), c.dtype)
+    c = jnp.concatenate([zero, c], axis=-1)
+    sums = c[..., wm:] - c[..., :-wm]                       # [need]
+    cur = mag[..., z.shape[-1] - need:]
+    trig = (cur * cfg.ratio > sums).astype(rdtype)
+    # dilation via the van Herk sliding max on the trigger sequence
+    from cutesdr_tpu.ops.util import sliding_window_max
+    blank, _ = sliding_window_max(trig[..., cfg.width_samples - 1:],
+                                  cfg.width_samples,
+                                  trig[..., :cfg.width_samples - 1])
+    delayed = z[..., z.shape[-1] - n - (cfg.delay_samples + 1):
+                z.shape[-1] - (cfg.delay_samples + 1)]
+    return jnp.where(blank > 0.5, jnp.zeros((), z.dtype), delayed)
+
+
 def process(cfg: BlankerConfig, carry: BlankerCarry,
             x: jax.Array) -> tuple[BlankerCarry, jax.Array]:
     if not cfg.on:

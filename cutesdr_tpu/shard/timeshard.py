@@ -52,7 +52,7 @@ except ImportError:  # pragma: no cover
         return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs, check_rep=False)
 
-from cutesdr_tpu.ops import decimator, fastfir, nco
+from cutesdr_tpu.ops import decimator, fastfir, nco, noiseblanker
 from cutesdr_tpu.ops.util import complex_strided_corr
 from cutesdr_tpu.pipeline import receiver as rx
 from cutesdr_tpu.types import K_2PI
@@ -65,6 +65,7 @@ class TimeShardCarry(NamedTuple):
     nco_base: jax.Array     # uint32 phase accumulator at superblock start
     in_tail: jax.Array      # [len(H_eq)-1-d] mixed-sample halo for device 0
     dec_tail: jax.Array     # [NFIR-1] decimated-sample halo for device 0
+    nb_tail: Any = None     # raw-sample halo for the noise blanker (if on)
 
 
 def _replicated_at_zero(i, recv, axis):
@@ -81,6 +82,20 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
     S = x_local.shape[-1]
     ring = [(j, (j + 1) % n_dev) for j in range(n_dev)]
     rdtype = jnp.real(x_local).dtype
+
+    # --- noise blanker (raw-history halo; stateless given the halo) ---
+    if cfg.nb_on:
+        nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
+                                            cfg.nb_width_us, cfg.input_rate)
+        h_nb = carry.nb_tail.shape[-1]
+        tail_nb = x_local[..., S - h_nb:]
+        recv_nb = lax.ppermute(tail_nb, axis, ring)
+        halo_nb = jnp.where(i == 0, carry.nb_tail, recv_nb)
+        x_local = noiseblanker.process_with_history(
+            nb_cfg, jnp.concatenate([halo_nb, x_local], axis=-1), S)
+        new_nb_tail = _replicated_at_zero(i, recv_nb, axis)
+    else:
+        new_nb_tail = carry.nb_tail
 
     x_local = x_local - params.dc_offset
 
@@ -112,7 +127,7 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
 
     # --- gather the (audio-rate) filtered stream to every device ---
     y_all = lax.all_gather(y_filt, axis, tiled=True)
-    return y_all, new_in_tail, new_dec_tail
+    return y_all, new_in_tail, new_dec_tail, new_nb_tail
 
 
 @dataclass
@@ -131,16 +146,22 @@ class ShardedReceiver:
     def __post_init__(self):
         if self.cfg.decimator_impl != "fused":
             raise ValueError("sharded receiver requires the fused decimator")
-        if self.cfg.nb_on:
-            raise NotImplementedError(
-                "noise blanker not yet supported in time-sharded mode")
         self.n_dev = self.mesh.shape[self.axis]
         self.params, state = rx.init(self.cfg, self.rdtype)
         self.state = state
+        if self.cfg.nb_on:
+            nb_cfg = noiseblanker.BlankerConfig(
+                self.cfg.nb_on, self.cfg.nb_threshold, self.cfg.nb_width_us,
+                self.cfg.input_rate)
+            nb_tail = jnp.zeros(noiseblanker.history_len(nb_cfg),
+                                state.dec.tail.dtype)
+        else:
+            nb_tail = jnp.zeros((0,), state.dec.tail.dtype)
         self.ts_carry = TimeShardCarry(
             nco_base=state.nco.phase_acc,
             in_tail=state.dec.tail,
-            dec_tail=state.chan_filter.tail)
+            dec_tail=state.chan_filter.tail,
+            nb_tail=nb_tail)
         cfg, n_dev, axis, mesh = self.cfg, self.n_dev, self.axis, self.mesh
 
         def step(params, state, ts_carry, x):
@@ -148,15 +169,15 @@ class ShardedReceiver:
                 lambda p, c, xs: front_end_sharded(cfg, n_dev, axis, p, c, xs),
                 mesh,
                 in_specs=(P(), P(), P(axis)),
-                out_specs=(P(), P(), P()))
-            y_all, in_tail, dec_tail = front(params, ts_carry, x)
+                out_specs=(P(), P(), P(), P()))
+            y_all, in_tail, dec_tail, nb_tail = front(params, ts_carry, x)
             sm_c, agc_c, dm_c, rs_c, out = rx.back_end(cfg, params, state,
                                                        y_all)
             inc = params.nco.phase_inc
             new_ts = TimeShardCarry(
                 nco_base=ts_carry.nco_base
                 + jnp.uint32(n_dev * cfg.block_size) * inc,
-                in_tail=in_tail, dec_tail=dec_tail)
+                in_tail=in_tail, dec_tail=dec_tail, nb_tail=nb_tail)
             new_state = state._replace(smeter=sm_c, agc=agc_c, demod=dm_c,
                                        resamp=rs_c)
             return new_state, new_ts, out

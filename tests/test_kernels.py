@@ -66,7 +66,7 @@ def test_mixdec_tone_lands_at_dc(rng):
     md = MixDecimate(plan, f0, tile_out=128, interpret=True)
     x = tone(2 * md.TO * md.D, f0, plan.in_rate, -20.0).astype(np.complex64)
     carry, y = md(md.params, md.init_carry(), jnp.asarray(x))
-    y = np.asarray(y)[md.K:]          # skip startup transient
+    y = np.asarray(y)[md.halo // md.D:]   # skip startup transient
     # tone at the tune frequency -> DC after mix+decimate: constant phasor
     assert np.std(np.abs(y)) < 1e-3 * np.mean(np.abs(y))
     ang = np.unwrap(np.angle(y))

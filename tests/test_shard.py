@@ -112,3 +112,31 @@ def test_channel_bank_sharded_matches_unsharded():
     scale = np.abs(np.asarray(out_u.audio)).max()
     np.testing.assert_allclose(np.asarray(out_s.audio),
                                np.asarray(out_u.audio), atol=1e-5 * scale)
+
+
+def test_timeshard_with_noise_blanker(rng):
+    """Blanker in sharded mode (raw-history halos) matches single chip."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=50_000.0, audio_rate=None, agc_on=False,
+                         nb_on=True, nb_threshold=40.0, nb_width_us=20.0)
+    n_dev = 4
+    mesh = make_mesh(time=n_dev)
+    n = cfg.block_size * n_dev * 2
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 50
+    x = x.astype(np.complex64)
+    x[10_000] = 500_000.0            # impulses to blank
+    x[25_000] = -400_000.0j
+    x[int(cfg.block_size * 4.5)] = 300_000.0 + 300_000.0j
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+    got, want = [], []
+    for sb in range(2):
+        xs = x[sb * srx.superblock_size:(sb + 1) * srx.superblock_size]
+        got.append(np.asarray(srx.process(jnp.asarray(xs, C64)).audio))
+        for b in range(n_dev):
+            want.append(np.asarray(rx.process(jnp.asarray(
+                xs[b * cfg.block_size:(b + 1) * cfg.block_size], C64)).audio))
+    got, want = np.concatenate(got), np.concatenate(want)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale)
