@@ -57,8 +57,12 @@ class SpectrumConfig:
 
     @cached_property
     def k_b(self) -> float:
+        # calibrated so a full-scale (32767) complex tone reads 0 dB: the
+        # gain-normalized windows have coherent gain 1, so the FFT peak is
+        # N·A.  (The reference calibrates against N·A/2 *and* applies the
+        # same windows — a systematic +6 dB it never corrected; we do.)
         return (self.db_compensation
-                - 20.0 * np.log10(self.fft_size * MAX_AMPLITUDE / 2.0)) / 10.0
+                - 20.0 * np.log10(self.fft_size * MAX_AMPLITUDE)) / 10.0
 
     @cached_property
     def k_c(self) -> float:
