@@ -141,6 +141,46 @@ def cmd_spectrum(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run a source through the receiver with the browser waterfall UI."""
+    import time as _time
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.serve import SpectrumServer
+    from cutesdr_tpu.session import ReceiverSession
+
+    cfg = ReceiverConfig(
+        input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
+        low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
+        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
+        stereo=args.stereo)
+    sess = ReceiverSession(cfg)
+    srv = SpectrumServer(port=args.port, sample_rate=args.fs,
+                         on_tune=sess.tune).start()
+    sess.on_spectrum = lambda db: srv.update(
+        db, smeter_db=sess.metrics.smeter_ave_db)
+    source = _make_source(args, cfg.block_size)
+    sess.start()
+    print(f"serving http://127.0.0.1:{srv.port}/  (Ctrl-C to stop)",
+          file=sys.stderr)
+    deadline = (_time.time() + args.seconds) if args.seconds > 0 else None
+    try:
+        while deadline is None or _time.time() < deadline:
+            iq = source()
+            if iq is None:
+                break
+            sess.pump(iq)
+            # pace roughly to real time for generator sources
+            if args.realtime:
+                _time.sleep(cfg.block_size / args.fs)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    print(sess.status_line(), file=sys.stderr)
+    return 0
+
+
 def cmd_discover(args) -> int:
     from cutesdr_tpu.io.discover import discover
 
@@ -175,6 +215,13 @@ def main(argv=None) -> int:
     p_spec.add_argument("--frames", type=int, default=10)
     p_spec.add_argument("--out", default="")
     p_spec.set_defaults(fn=cmd_spectrum)
+
+    p_srv = sub.add_parser("serve", help="browser spectrum/waterfall UI")
+    _add_receiver_args(p_srv)
+    p_srv.add_argument("--port", type=int, default=8765)
+    p_srv.add_argument("--realtime", action="store_true",
+                       help="pace generator sources to wall-clock")
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_disc = sub.add_parser("discover", help="find radios on the LAN")
     p_disc.add_argument("--timeout", type=float, default=0.5)
