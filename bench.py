@@ -32,7 +32,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_receiver(frames_per_block=16, n_iters=30, warmup=3):
+def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
     import jax
     import jax.numpy as jnp
 
