@@ -71,7 +71,8 @@ def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
         phase = phase + freq + params.pll_alpha * err
         return (phase, freq), tmp
 
-    (phase, freq), base = lax.scan(step, (carry.nco_phase, carry.nco_freq), x)
+    (phase, freq), base = lax.scan(step, (carry.nco_phase, carry.nco_freq), x,
+                                   unroll=4)
     return jnp.mod(phase, K_2PI), freq, base
 
 
