@@ -118,8 +118,7 @@ def _pll_scan(params: FmParams, carry: FmCarry, x: jax.Array):
         return (phase, freq, dc), (freq - dc) * params.out_gain
 
     (phase, freq, dc), audio = lax.scan(
-        step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), x,
-        unroll=4)
+        step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), x)
     return jnp.mod(phase, K_2PI), freq, dc, audio
 
 

@@ -71,8 +71,7 @@ def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
         phase = phase + freq + params.pll_alpha * err
         return (phase, freq), tmp
 
-    (phase, freq), base = lax.scan(step, (carry.nco_phase, carry.nco_freq), x,
-                                   unroll=4)
+    (phase, freq), base = lax.scan(step, (carry.nco_phase, carry.nco_freq), x)
     return jnp.mod(phase, K_2PI), freq, base
 
 

@@ -135,8 +135,7 @@ def _averager_scan(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
         return (a_new, d_new, timer), jnp.maximum(a_new, d_new)
 
     (a, d, timer), mag = lax.scan(
-        step, (carry.attack_ave, carry.decay_ave, carry.hang_timer), peak,
-        unroll=8)
+        step, (carry.attack_ave, carry.decay_ave, carry.hang_timer), peak)
     return a, d, timer, mag
 
 

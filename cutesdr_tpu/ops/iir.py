@@ -53,5 +53,5 @@ def process(params: IirParams, carry: IirCarry,
         y = b0 * w0 + b1 * w1 + b2 * w2
         return (w0, w1), y
 
-    (w1, w2), y = lax.scan(step, (carry.w1, carry.w2), x, unroll=8)
+    (w1, w2), y = lax.scan(step, (carry.w1, carry.w2), x)
     return IirCarry(w1=w1, w2=w2), y

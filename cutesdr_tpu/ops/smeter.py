@@ -63,8 +63,7 @@ def process(params: SMeterParams, carry: SMeterCarry,
         return (a, d, avg), None
 
     (a, d, avg), _ = lax.scan(
-        step, (carry.attack_ave, carry.decay_ave, carry.average_mag), mag,
-        unroll=8)
+        step, (carry.attack_ave, carry.decay_ave, carry.average_mag), mag)
     peak = jnp.maximum(carry.peak_mag, jnp.max(mag))
     return SMeterCarry(attack_ave=a, decay_ave=d, average_mag=avg,
                        peak_mag=peak), mag
