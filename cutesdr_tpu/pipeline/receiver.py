@@ -83,7 +83,8 @@ class ReceiverConfig:
     # output
     stereo: bool = False
     audio_rate: float | None = SOUNDCARD_RATE   # None: raw demod-rate audio
-    decimator_impl: str = "fused"      # "fused" | "cascade"
+    decimator_impl: str = "fused"      # "fused" | "cascade" | "pallas"
+    pallas_interpret: bool = False     # run the pallas kernel interpreted (CPU tests)
     probes: bool = False
 
     def __post_init__(self):
@@ -160,6 +161,12 @@ class StepOutput(NamedTuple):
     probes: Any                 # dict of taps if cfg.probes else None
 
 
+def _make_mixdec(cfg: ReceiverConfig):
+    from cutesdr_tpu.kernels.mixdec import MixDecimate
+    return MixDecimate(cfg.plan, cfg.tune_freq - cfg.cw_offset,
+                       interpret=cfg.pallas_interpret)
+
+
 def _demod_init(cfg: ReceiverConfig, rdtype):
     fs = cfg.plan.out_rate
     m = cfg.mode_id
@@ -197,6 +204,9 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     nco_p, nco_c = nco.init(cfg.tune_freq - cfg.cw_offset, fs_in)
     if cfg.decimator_impl == "fused":
         dec_p, dec_c = decimator.fused_init(cfg.plan, cdtype, rdtype)
+    elif cfg.decimator_impl == "pallas":
+        md = _make_mixdec(cfg)
+        dec_p, dec_c = md.params, md.init_carry()
     else:
         dec_p, dec_c = None, decimator.cascade_init(cfg.plan, cdtype)
     ff_p, ff_c = fastfir.init(cfg.low_cut, cfg.hi_cut, cfg.cw_offset, fs_out,
@@ -285,12 +295,18 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
 
     iq = iq - params.dc_offset            # NCO-spur DC cal
 
-    nco_c, mixed = nco.process(params.nco, state.nco, iq)
-    if cfg.decimator_impl == "fused":
-        dec_c, base = decimator.fused_process(cfg.plan, params.dec,
-                                              state.dec, mixed)
+    if cfg.decimator_impl == "pallas":
+        # fused NCO-mix + polyphase decimation in one Pallas kernel; the
+        # NCO params/carry are unused (phase lives in the kernel carry)
+        nco_c = state.nco
+        dec_c, base = _make_mixdec(cfg)(params.dec, state.dec, iq)
     else:
-        dec_c, base = decimator.cascade_process(cfg.plan, state.dec, mixed)
+        nco_c, mixed = nco.process(params.nco, state.nco, iq)
+        if cfg.decimator_impl == "fused":
+            dec_c, base = decimator.fused_process(cfg.plan, params.dec,
+                                                  state.dec, mixed)
+        else:
+            dec_c, base = decimator.cascade_process(cfg.plan, state.dec, mixed)
     if probes is not None:
         probes["p1_downconvert"] = base
 
@@ -322,9 +338,14 @@ class Receiver:
 
     # --- live reconfiguration (traced-param updates, no recompile) ---
     def set_tune_freq(self, freq_hz: float) -> None:
+        inc = nco.phase_increment(freq_hz - self.cfg.cw_offset,
+                                  self.cfg.input_rate)
         self.params = self.params._replace(
-            nco=nco.retune(self.params.nco, freq_hz - self.cfg.cw_offset,
-                           self.cfg.input_rate))
+            nco=self.params.nco._replace(phase_inc=jnp.asarray(inc)))
+        if self.cfg.decimator_impl == "pallas":
+            # the pallas kernel owns the oscillator
+            self.params = self.params._replace(
+                dec=self.params.dec._replace(phase_inc=jnp.asarray(inc)))
 
     def set_filter(self, low_cut: float, hi_cut: float) -> None:
         self.params = self.params._replace(

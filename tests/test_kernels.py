@@ -71,3 +71,22 @@ def test_mixdec_tone_lands_at_dc(rng):
     assert np.std(np.abs(y)) < 1e-3 * np.mean(np.abs(y))
     ang = np.unwrap(np.angle(y))
     assert abs(ang[-1] - ang[0]) < 0.05
+
+
+def test_receiver_with_pallas_decimator():
+    """decimator_impl='pallas' matches the fused XLA receiver."""
+    from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+
+    kw = dict(input_rate=500_000.0, mode="usb", tune_freq=20_000.0,
+              audio_rate=None, agc_on=False)
+    rx_p = Receiver(ReceiverConfig(decimator_impl="pallas",
+                                   pallas_interpret=True, **kw))
+    rx_f = Receiver(ReceiverConfig(decimator_impl="fused", **kw))
+    x = tone(rx_f.cfg.block_size * 2, 21_000.0, 500_000.0, -20.0)
+    a_p, a_f = [], []
+    for b in np.split(x, 2):
+        a_p.append(np.asarray(rx_p.process(jnp.asarray(b, C64)).audio))
+        a_f.append(np.asarray(rx_f.process(jnp.asarray(b, C64)).audio))
+    a_p, a_f = np.concatenate(a_p), np.concatenate(a_f)
+    scale = np.abs(a_f).max()
+    np.testing.assert_allclose(a_p, a_f, atol=3e-4 * scale)
