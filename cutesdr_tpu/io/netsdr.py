@@ -302,6 +302,22 @@ class SdrClient:
                                  ("u8", ci.RX_STATE_IDLE),
                                  ("u8", 0), ("u8", 0)))
 
+    def set_rx2_parameters(self, rx2_gain: float, rx2_phase_deg: float) -> None:
+        """Dual-channel amplitude/phase balance: channel-1 A/D gain scaled
+        by rx2_gain (16-bit fraction of 0x7FFF) and channel-2 NCO phase
+        offset as a 32-bit fraction of 360 degrees
+        (interface/sdrinterface.cpp:400-435)."""
+        gain = int(rx2_gain * 32767.0) & 0xFFFF
+        phase = int((rx2_phase_deg / 360.0) * 4294967295.0) & 0xFFFFFFFF
+        self._send(ascp.set_item(ci.RX_ADCGAIN, ("u8", ci.RX_CHAN_2),
+                                 ("u16", 0x7FFF)))
+        self._send(ascp.set_item(ci.RX_ADCGAIN, ("u8", ci.RX_CHAN_1),
+                                 ("u16", gain)))
+        self._send(ascp.set_item(ci.RX_NCOPHASE, ("u8", ci.RX_CHAN_1),
+                                 ("u32", 0)))
+        self._send(ascp.set_item(ci.RX_NCOPHASE, ("u8", ci.RX_CHAN_2),
+                                 ("u32", phase)))
+
     def set_rf_gain(self, gain_db: int) -> None:
         self.rf_gain = gain_db
         self._send(ascp.set_item(ci.RX_RF_GAIN, ("u8", ci.RX_CHAN_1),

@@ -28,6 +28,9 @@ reshapes/unaligned slices are not lowerable):
 
 Equivalence with ops.nco.process + ops.decimator.fused_process is asserted
 in tests/test_kernels.py (interpret mode on CPU, compiled on TPU).
+
+Measured (TPU v5e, 2 MSPS plan ×32, 262144-sample blocks): 11.5 GSPS vs
+8.5 GSPS for the XLA-composed mix+conv (1.36×), and 0.8 s vs 13.5 s compile.
 """
 
 from __future__ import annotations

@@ -169,3 +169,30 @@ def test_volume_control():
     a_mute, _ = run_stream(rx, x)
     assert np.all(a_mute == 0.0)
     assert np.any(a_full != 0.0)
+
+
+def test_stereo_receiver_sam():
+    """Full chain in stereo (complex audio out) with the SAM demod."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="sam", stereo=True,
+                         tune_freq=100_000.0, audio_rate=48000.0)
+    rx = Receiver(cfg)
+    fs = cfg.input_rate
+    n = cfg.block_size * 3
+    t = np.arange(n) / fs
+    x = 8000.0 * np.exp(1j * 2 * np.pi * 100_000.0 * t)          # carrier
+    x = x + 2000.0 * np.exp(1j * 2 * np.pi * (100_000.0 + 900.0) * t)  # USB tone
+    audio, out = run_stream(rx, x)
+    assert np.iscomplexobj(audio)
+    # USB content routes to the right channel (imag)
+    p_r = np.mean(audio.imag ** 2)
+    p_l = np.mean(audio.real ** 2)
+    assert p_r > 2.0 * p_l
+
+
+def test_stereo_receiver_usb_duplicates():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", stereo=True,
+                         tune_freq=50_000.0, audio_rate=None, agc_on=False)
+    rx = Receiver(cfg)
+    x = tone(cfg.block_size * 2, 51_000.0, cfg.input_rate, -20.0)
+    audio, _ = run_stream(rx, x)
+    np.testing.assert_allclose(audio.real, audio.imag)
