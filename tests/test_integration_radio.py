@@ -1,0 +1,137 @@
+"""Full-stack integration: a fake NetSDR (TCP control + UDP data) streams a
+tone; SdrClient drives the handshake/start sequence; the session demodulates
+to audio.  This exercises ascp + netsdr + session + pipeline together over
+real sockets."""
+
+import asyncio
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from cutesdr_tpu.io import ascp
+from cutesdr_tpu.io.ascp import AscpMessage, StreamAssembler, ci
+from cutesdr_tpu.io.netsdr import SdrClient, Status
+from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+from cutesdr_tpu.session import ReceiverSession
+
+
+class FakeNetSdr:
+    """Speaks enough ASCP to complete the handshake and, once started,
+    streams 16-bit IQ data packets of a tone over UDP."""
+
+    def __init__(self, tone_hz=10_000.0, fs=500_000.0, amp=3000.0):
+        self.tone_hz, self.fs, self.amp = tone_hz, fs, amp
+        self.port = None
+        self._udp_peer = None
+        self._streaming = False
+        self._seq = 0   # devices start the sequence at 0 (resync marker)
+        self._phase = 0.0
+        self._server = None
+        self._stream_task = None
+
+    async def start(self):
+        self._server = await asyncio.start_server(self._handle, "127.0.0.1", 0)
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    async def stop(self):
+        if self._stream_task:
+            self._stream_task.cancel()
+        self._server.close()
+
+    async def _handle(self, reader, writer):
+        self._udp_peer = ("127.0.0.1", self.port)
+        asm = StreamAssembler()
+        while True:
+            data = await reader.read(1024)
+            if not data:
+                return
+            for msg in asm.feed(data):
+                await self._respond(msg, writer)
+
+    async def _respond(self, msg, writer):
+        if msg.msg_type == ascp.TYPE_HOST_REQ_CITEM:
+            item = msg.citem()
+            m = AscpMessage(ascp.TYPE_TARG_RESP_CITEM)
+            m.add_citem(item)
+            if item == ci.GENERAL_INTERFACE_NAME:
+                m.body += b"NetSDR\0"
+            elif item == ci.GENERAL_INTERFACE_SERIALNUM:
+                m.body += b"FAKE0001\0"
+            elif item == ci.GENERAL_HARDFIRM_VERSION:
+                msg.rewind()
+                m.add_u8(msg.get_u8()).add_u16(123)
+            elif item == ci.GENERAL_STATUS_CODE:
+                m.add_u8(ci.STATUS_IDLE)
+            writer.write(m.to_bytes())
+            await writer.drain()
+        elif msg.msg_type == ascp.TYPE_HOST_SET_CITEM:
+            item = msg.citem()
+            if item == ci.RX_STATE:
+                msg.rewind()
+                msg.get_u8()
+                run = msg.get_u8()
+                if run == ci.RX_STATE_ON and not self._streaming:
+                    self._streaming = True
+                    self._stream_task = asyncio.ensure_future(self._stream())
+                elif run == ci.RX_STATE_IDLE:
+                    self._streaming = False
+            # echo the set as a response (devices ack sets)
+            writer.write(msg.to_bytes())
+            await writer.drain()
+
+    async def _stream(self):
+        """Send 40 packets of 256 samples of tone, 16-bit format."""
+        n = 256
+        for _ in range(40):
+            t = self._phase + np.arange(n)
+            iq = self.amp * np.exp(2j * np.pi * self.tone_hz / self.fs * t)
+            self._phase += n
+            data = np.empty(2 * n, "<i2")
+            data[0::2] = np.round(iq.real)
+            data[1::2] = np.round(iq.imag)
+            pkt = struct.pack("<HH", 0x8204, self._seq & 0xFFFF) + data.tobytes()
+            self._seq += 1
+            self._udp.sendto(pkt, self._udp_peer)
+            await asyncio.sleep(0.002)
+
+
+@pytest.mark.slow
+def test_fake_radio_to_audio():
+    fs = 500_000.0
+    tone_hz = 10_000.0 + 1000.0     # 1 kHz above the tune frequency
+
+    async def scenario():
+        radio = FakeNetSdr(tone_hz=tone_hz, fs=fs)
+        await radio.start()
+
+        cfg = ReceiverConfig(input_rate=fs, mode="usb",
+                             tune_freq=10_000.0, audio_rate=None,
+                             frames_per_block=1)
+        sess = ReceiverSession(cfg)
+        sess.start()
+
+        client = SdrClient(host="127.0.0.1", port=radio.port,
+                           on_iq=lambda iq: sess.pump(iq))
+        await client.connect()
+        await asyncio.sleep(0.3)
+        assert client.device_name == "NetSDR"
+        client.start()
+        # stream 40*256 = 10240 samples < block... need more packets; loop
+        for _ in range(10):
+            await asyncio.sleep(0.15)
+            if sess.metrics.blocks >= 1:
+                break
+        await client.close()
+        await radio.stop()
+        return sess, client
+
+    sess, client = asyncio.run(scenario())
+    # at least one pipeline block must have run; S-meter sees the tone
+    assert sess.metrics.blocks >= 1
+    assert sess.metrics.smeter_ave_db > -60.0
+    assert client.missed_packets == 0
+    # audio queue accumulated demodulated samples
+    assert sess.audio_queue.level > 0
