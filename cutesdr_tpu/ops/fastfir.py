@@ -37,44 +37,60 @@ class FastFirCarry(NamedTuple):
     tail: jax.Array      # [FIR-1] complex input history
 
 
+# default sizes (reference values); smaller sizes trade throughput for
+# latency — one overlap-save frame of (nfft - ntaps + 1) output samples is
+# the pipeline's intrinsic latency.  All runtime functions derive the sizes
+# from the array shapes, so any (power-of-2 nfft, ntaps <= nfft) pair works.
 NFFT = CONV_FFT_SIZE
 NFIR = CONV_FIR_SIZE
 VALID = NFFT - (NFIR - 1)   # 1024 output samples per frame
 
 
+def valid_per_frame(nfft: int = NFFT, ntaps: int = NFIR) -> int:
+    return nfft - (ntaps - 1)
+
+
 def init(f_lo_cut: float, f_hi_cut: float, offset: float, sample_rate: float,
-         cdtype=jnp.complex64) -> tuple[FastFirParams, FastFirCarry]:
-    h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate)
+         cdtype=jnp.complex64, nfft: int = NFFT,
+         ntaps: int = NFIR) -> tuple[FastFirParams, FastFirCarry]:
+    h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate,
+                       fft_size=nfft, fir_size=ntaps)
     return (FastFirParams(h_freq=jnp.asarray(h, cdtype)),
-            FastFirCarry(tail=jnp.zeros(NFIR - 1, cdtype)))
+            FastFirCarry(tail=jnp.zeros(ntaps - 1, cdtype)))
 
 
 def retune(params: FastFirParams, f_lo_cut: float, f_hi_cut: float,
-           offset: float, sample_rate: float) -> FastFirParams:
-    h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate)
+           offset: float, sample_rate: float,
+           ntaps: int = NFIR) -> FastFirParams:
+    h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate,
+                       fft_size=params.h_freq.shape[-1], fir_size=ntaps)
     return FastFirParams(h_freq=jnp.asarray(h, params.h_freq.dtype))
 
 
-def filter_frames(h_freq: jax.Array, z: jax.Array) -> jax.Array:
-    """Overlap-save core on an explicit [NFIR-1 + n] history+block buffer;
+def filter_frames(h_freq: jax.Array, z: jax.Array,
+                  ntaps: int = NFIR) -> jax.Array:
+    """Overlap-save core on an explicit [ntaps-1 + n] history+block buffer;
     returns n filtered samples.  Also used by the time-sharded front-end,
     where the history is a ppermute'd halo instead of a carried tail."""
-    n = z.shape[-1] - (NFIR - 1)
-    if n % VALID:
-        raise ValueError(f"fastfir block length {n} not a multiple of {VALID}")
-    n_frames = n // VALID
-    # frame f = z[f*VALID : f*VALID + NFFT]
-    idx = (np.arange(NFFT)[None, :] + VALID * np.arange(n_frames)[:, None])
-    frames = z[..., idx]                                  # [..., n_frames, NFFT]
+    nfft = h_freq.shape[-1]
+    valid = nfft - (ntaps - 1)
+    n = z.shape[-1] - (ntaps - 1)
+    if n % valid:
+        raise ValueError(f"fastfir block length {n} not a multiple of {valid}")
+    n_frames = n // valid
+    # frame f = z[f*valid : f*valid + nfft]
+    idx = (np.arange(nfft)[None, :] + valid * np.arange(n_frames)[:, None])
+    frames = z[..., idx]                                  # [..., n_frames, nfft]
     spec = jnp.fft.fft(frames, axis=-1)
-    yf = jnp.fft.ifft(spec * h_freq, axis=-1) * NFFT
-    y = yf[..., NFIR - 1:]                                # [..., n_frames, VALID]
+    yf = jnp.fft.ifft(spec * h_freq, axis=-1) * nfft
+    y = yf[..., ntaps - 1:]                               # [..., n_frames, valid]
     return y.reshape(y.shape[:-2] + (n,)).astype(z.dtype)
 
 
 def process(params: FastFirParams, carry: FastFirCarry,
             x: jax.Array) -> tuple[FastFirCarry, jax.Array]:
-    """len(x) must be a multiple of VALID (=1024); returns len(x) samples."""
-    z = jnp.concatenate([carry.tail, x], axis=-1)        # [NFIR-1 + n]
-    y = filter_frames(params.h_freq, z)
-    return FastFirCarry(tail=z[..., z.shape[-1] - (NFIR - 1):]), y
+    """len(x) must be a multiple of the frame's valid length."""
+    ntaps = carry.tail.shape[-1] + 1
+    z = jnp.concatenate([carry.tail, x], axis=-1)        # [ntaps-1 + n]
+    y = filter_frames(params.h_freq, z, ntaps)
+    return FastFirCarry(tail=z[..., z.shape[-1] - (ntaps - 1):]), y

@@ -83,6 +83,11 @@ class ReceiverConfig:
     # output
     stereo: bool = False
     audio_rate: float | None = SOUNDCARD_RATE   # None: raw demod-rate audio
+    # channel-filter sizes: smaller -> lower latency (one overlap-save frame
+    # = fastfir_nfft - fastfir_ntaps + 1 output samples), larger -> sharper
+    # filter + higher throughput.  Defaults match the reference (2048/1025).
+    fastfir_nfft: int = fastfir.NFFT
+    fastfir_ntaps: int = fastfir.NFIR
     decimator_impl: str = "fused"      # "fused" | "cascade" | "pallas"
     pallas_interpret: bool = False     # run the pallas kernel interpreted (CPU tests)
     probes: bool = False
@@ -114,13 +119,22 @@ class ReceiverConfig:
         return self.plan.out_rate
 
     @property
+    def fastfir_valid(self) -> int:
+        """Decimated samples per overlap-save frame (= intrinsic latency)."""
+        return fastfir.valid_per_frame(self.fastfir_nfft, self.fastfir_ntaps)
+
+    @property
     def block_size(self) -> int:
         """Input samples per step: frames_per_block overlap-save frames."""
-        return self.plan.decimation * fastfir.VALID * self.frames_per_block
+        return self.plan.decimation * self.fastfir_valid * self.frames_per_block
+
+    @property
+    def latency_sec(self) -> float:
+        return self.block_size / self.input_rate
 
     @property
     def audio_block_cap(self) -> int:
-        n_demod = fastfir.VALID * self.frames_per_block
+        n_demod = self.fastfir_valid * self.frames_per_block
         if self.audio_rate is None:
             return n_demod
         return resampler.max_out_for(n_demod, self.output_rate / self.audio_rate)
@@ -210,7 +224,8 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     else:
         dec_p, dec_c = None, decimator.cascade_init(cfg.plan, cdtype)
     ff_p, ff_c = fastfir.init(cfg.low_cut, cfg.hi_cut, cfg.cw_offset, fs_out,
-                              cdtype)
+                              cdtype, nfft=cfg.fastfir_nfft,
+                              ntaps=cfg.fastfir_ntaps)
     agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, fs_out)
     agc_p = agc.make_params(agc_cfg, cfg.agc_thresh_db, cfg.agc_manual_gain_db,
                             cfg.agc_slope, cfg.agc_decay_ms, rdtype)
@@ -351,7 +366,8 @@ class Receiver:
         self.params = self.params._replace(
             chan_filter=fastfir.retune(self.params.chan_filter, low_cut,
                                        hi_cut, self.cfg.cw_offset,
-                                       self.cfg.output_rate))
+                                       self.cfg.output_rate,
+                                       ntaps=self.cfg.fastfir_ntaps))
 
     def set_agc(self, thresh_db=None, manual_gain_db=None, slope=None,
                 decay_ms=None) -> None:

@@ -118,11 +118,12 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
 
     # --- channel-filter halo exchange (decimated rate) ---
     nd = y_dec.shape[-1]
-    dtail = y_dec[..., nd - (fastfir.NFIR - 1):]
+    ntaps = carry.dec_tail.shape[-1] + 1
+    dtail = y_dec[..., nd - (ntaps - 1):]
     recv2 = lax.ppermute(dtail, axis, ring)
     halo2 = jnp.where(i == 0, carry.dec_tail, recv2)
     z2 = jnp.concatenate([halo2, y_dec], axis=-1)
-    y_filt = fastfir.filter_frames(params.chan_filter.h_freq, z2)
+    y_filt = fastfir.filter_frames(params.chan_filter.h_freq, z2, ntaps)
     new_dec_tail = _replicated_at_zero(i, recv2, axis)
 
     # --- gather the (audio-rate) filtered stream to every device ---

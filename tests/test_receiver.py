@@ -196,3 +196,19 @@ def test_stereo_receiver_usb_duplicates():
     x = tone(cfg.block_size * 2, 51_000.0, cfg.input_rate, -20.0)
     audio, _ = run_stream(rx, x)
     np.testing.assert_allclose(audio.real, audio.imag)
+
+
+def test_low_latency_filter_sizes():
+    """Smaller overlap-save sizes cut the intrinsic block latency; the
+    chain still demodulates correctly (reference fixes 2048/1025)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=50_000.0, audio_rate=None, agc_on=False,
+                         fastfir_nfft=512, fastfir_ntaps=257)
+    assert cfg.fastfir_valid == 256
+    assert cfg.latency_sec < 0.005         # ~4 ms at decim 8
+    rx = Receiver(cfg)
+    x = tone(cfg.block_size * 8, 51_000.0, cfg.input_rate, -20.0)
+    audio, _ = run_stream(rx, x, drop_blocks=2)
+    p_sig = tone_power_db(audio, 1000.0, cfg.output_rate)
+    p_tot = 10 * np.log10(np.mean(audio ** 2) + 1e-30)
+    assert p_sig - 3.01 > p_tot - 1.0
