@@ -58,20 +58,37 @@ def init(sample_rate: float, rdtype=jnp.float32) -> tuple[SamParams, SamCarry]:
                      z1=r(0.0), y1=r(0.0), hilbert=fc))
 
 
-def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
-    """Track the carrier; returns (phase', freq', baseband I/Q sequence)."""
+def _wrap_pi(e):
+    """Wrap radians into (-pi, pi]."""
+    return e - K_2PI * jnp.round(e / K_2PI)
 
-    def step(c, xn):
+
+def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
+    """Track the carrier; returns (phase', freq', baseband I/Q sequence).
+
+    The phase detector atan2(x·e^{-jφ}) equals wrap(arg(x) − φ): arg(x) is
+    vectorized over the block, the serial recurrence carries only cheap
+    arithmetic, and the baseband rotation x·e^{-jφ} is applied vectorized
+    afterwards from the emitted phase sequence.
+    """
+    theta = jnp.arctan2(x.imag, x.real)
+
+    def step(c, th):
         phase, freq = c
-        osc = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        tmp = xn * osc                       # shift by -phase
-        err = jnp.arctan2(tmp.imag, tmp.real)
+        err = _wrap_pi(th - phase)
         freq = jnp.clip(freq + params.pll_beta * err,
                         -params.nco_limit, params.nco_limit)
-        phase = phase + freq + params.pll_alpha * err
-        return (phase, freq), tmp
+        phase = _wrap_pi(phase + freq + params.pll_alpha * err)
+        return (phase, freq), phase
 
-    (phase, freq), base = lax.scan(step, (carry.nco_phase, carry.nco_freq), x)
+    (phase, freq), phases = lax.scan(
+        step, (carry.nco_phase, carry.nco_freq), theta)
+    # note: the reference rotates by the *pre-update* phase; emitting the
+    # post-update phase differs by one loop increment — the PLL output is a
+    # tracked baseband either way (lock behavior identical); rotate with the
+    # pre-update sequence for exact parity:
+    prev = jnp.concatenate([carry.nco_phase[None], phases[:-1]], axis=-1)
+    base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
     return jnp.mod(phase, K_2PI), freq, base
 
 
