@@ -12,7 +12,7 @@ static plan baked into the compiled pipeline.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

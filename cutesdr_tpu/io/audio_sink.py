@@ -17,7 +17,7 @@ Receiver.set_resample_ratio as a traced-param update.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -8,10 +8,8 @@ which is the standard way to run the framework without a radio.
 
 from __future__ import annotations
 
-import struct
 import wave
 from dataclasses import dataclass
-from pathlib import Path
 
 import numpy as np
 

@@ -18,8 +18,7 @@ from __future__ import annotations
 import asyncio
 import contextlib
 import enum
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np

@@ -21,16 +21,14 @@ TPU design:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from cutesdr_tpu.demod import (DEMOD_AM, DEMOD_CWL, DEMOD_CWU, DEMOD_FM,
-                               DEMOD_LSB, DEMOD_SAM, DEMOD_USB, MODE_IDS,
+from cutesdr_tpu.demod import (DEMOD_AM, DEMOD_FM, DEMOD_SAM, MODE_IDS,
                                am as am_demod, fm as fm_demod,
                                sam as sam_demod, ssb as ssb_demod)
 from cutesdr_tpu.design.decimation_plan import DecimationPlan, plan_decimation

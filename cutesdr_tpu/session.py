@@ -9,8 +9,6 @@ ticks, run/stop logic, live parameter plumbing — minus the Qt widgets.
 
 from __future__ import annotations
 
-import queue
-import threading
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 

@@ -13,7 +13,6 @@ mid-stream resume (tested in tests/test_settings.py).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 from dataclasses import asdict, dataclass, field
 from pathlib import Path

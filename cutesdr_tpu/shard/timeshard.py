@@ -32,7 +32,6 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -52,7 +51,7 @@ except ImportError:  # pragma: no cover
         return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs, check_rep=False)
 
-from cutesdr_tpu.ops import decimator, fastfir, nco, noiseblanker
+from cutesdr_tpu.ops import fastfir, noiseblanker
 from cutesdr_tpu.ops.util import complex_strided_corr
 from cutesdr_tpu.pipeline import receiver as rx
 from cutesdr_tpu.types import K_2PI

@@ -11,7 +11,7 @@ probe outputs (cfg.probes=True).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
