@@ -44,18 +44,26 @@ def _add_receiver_args(p: argparse.ArgumentParser) -> None:
 def _make_source(args, block_size):
     from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator
 
+    import numpy as _np
+
+    def c64(f):
+        # device transfers must be complex64 (complex128 H2D/D2H is not
+        # supported by some backends, e.g. the axon tunnel)
+        return lambda: (lambda b: None if b is None
+                        else _np.asarray(b, _np.complex64))(f())
+
     spec = args.source
     if spec == "sweep":
         gen = SignalGenerator(GenConfig(
             sample_rate=args.fs, sweep_start_hz=args.freq - 50e3,
             sweep_stop_hz=args.freq + 50e3, sweep_rate_hz_per_sec=20e3,
             signal_power_db=-20.0, noise_power_db=-90.0))
-        return lambda: gen.next_block(block_size)
+        return c64(lambda: gen.next_block(block_size))
     if spec.startswith("tone:"):
         gen = SignalGenerator(GenConfig(
             sample_rate=args.fs, sweep_start_hz=float(spec[5:]),
             sweep_stop_hz=float(spec[5:]), signal_power_db=-20.0))
-        return lambda: gen.next_block(block_size)
+        return c64(lambda: gen.next_block(block_size))
     if spec.startswith("file:"):
         from cutesdr_tpu.io.filesource import FileSource
         parts = spec.split(":")
