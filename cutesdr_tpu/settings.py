@@ -95,6 +95,27 @@ class SessionSettings:
         return cls(radio=radio, display=display, demod=demod, **rest)
 
 
+def receiver_config_from_settings(s: SessionSettings, input_rate: float,
+                                  mode: str | None = None):
+    """Build a ReceiverConfig from persisted settings — the equivalent of
+    MainWindow handing m_DemodSettings[mode] to SetDemod
+    (gui/mainwindow.cpp:967-994)."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    mode = mode or s.demod_mode
+    d = s.demod[mode]
+    return ReceiverConfig(
+        input_rate=input_rate, mode=mode,
+        low_cut=d.low_cut, hi_cut=d.hi_cut, cw_offset=d.offset,
+        tune_freq=float(s.radio.demod_frequency - s.radio.center_frequency),
+        agc_on=d.agc_on, agc_hang=d.agc_hang_on,
+        agc_thresh_db=d.agc_thresh, agc_manual_gain_db=d.agc_manual_gain,
+        agc_slope=d.agc_slope, agc_decay_ms=d.agc_decay,
+        squelch_ui=d.squelch_value,
+        nb_on=s.nb_on, nb_threshold=s.nb_threshold,
+        nb_width_us=s.nb_width_us, stereo=s.stereo)
+
+
 # ----------------------------------------------------------- checkpointing --
 
 def save_state(path: str | Path, state, stream_offset: int = 0) -> None:

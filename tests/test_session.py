@@ -99,3 +99,18 @@ def test_cli_spectrum_finds_tone(tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert abs(res["peak_freq_hz"] - 50000) < 1000
     assert res["peak_db"] > res["noise_floor_db"] + 30
+
+
+def test_receiver_config_from_settings():
+    s = settings.SessionSettings()
+    s.demod_mode = "am"
+    s.demod["am"].agc_decay = 500.0
+    s.radio.center_frequency = 10_000_000
+    s.radio.demod_frequency = 10_100_000
+    cfg = settings.receiver_config_from_settings(s, input_rate=2e6)
+    assert cfg.mode == "am"
+    assert cfg.agc_decay_ms == 500.0
+    assert cfg.tune_freq == 100_000.0
+    # config is usable end-to-end
+    rx = Receiver(cfg)
+    rx.process(jnp.zeros(cfg.block_size, C64))
