@@ -164,7 +164,7 @@ def cmd_serve(args) -> int:
         stereo=args.stereo)
     sess = ReceiverSession(cfg)
     srv = SpectrumServer(port=args.port, sample_rate=args.fs,
-                         on_tune=sess.tune).start()
+                         on_tune=sess.tune_clicked).start()
     sess.on_spectrum = lambda db: srv.update(
         db, smeter_db=sess.metrics.smeter_ave_db)
     source = _make_source(args, cfg.block_size)

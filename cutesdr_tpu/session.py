@@ -111,6 +111,15 @@ class ReceiverSession:
     def tune(self, freq_hz: float) -> None:
         self.receiver.set_tune_freq(freq_hz)
 
+    def tune_clicked(self, freq_hz: float) -> float:
+        """Click-to-tune with the mode's click resolution rounding
+        (gui/plotter.cpp roundFreq with m_ClickResolution)."""
+        res = max(1, int(self.settings.demod[self.cfg.mode]
+                         .filter_click_resolution))
+        rounded = round(freq_hz / res) * res
+        self.tune(rounded)
+        return rounded
+
     def set_filter(self, low_cut: float, hi_cut: float) -> None:
         self.receiver.set_filter(low_cut, hi_cut)
 

@@ -51,3 +51,12 @@ def test_session_tune_and_volume():
     # muted: queue only zeros
     level = sess.audio_queue.level
     assert level > 0
+
+
+def test_tune_clicked_rounds_to_resolution():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None)
+    sess = ReceiverSession(cfg)
+    sess.settings.demod["usb"].filter_click_resolution = 100
+    assert sess.tune_clicked(123_456.7) == 123_500.0
+    sess.settings.demod["usb"].filter_click_resolution = 1000
+    assert sess.tune_clicked(123_456.7) == 123_000.0
