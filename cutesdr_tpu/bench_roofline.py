@@ -6,6 +6,13 @@ light" = moving their bytes at HBM rate.  Prints one JSON line per op with
 bytes moved, achieved GB/s, and the bandwidth fraction (peak defaults to
 v5e's ~819 GB/s).
 
+CAVEAT for remote-tunnel devices (this dev rig): a control experiment (a
+chained 256 MB `a+1`) measures an impossible 21 TB/s — per-call timing has
+a ~25 us floor and does not faithfully expose memory-bound execution time,
+so bw_fraction > 1 readings here mean "unmeasurable through the tunnel",
+not "faster than light".  Run this harness on a directly-attached chip for
+meaningful rooflines.
+
 Usage: python -m cutesdr_tpu.bench_roofline [--peak-gbs 819]
 """
 
