@@ -74,16 +74,25 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
 
 
 def main():
-    dev = None
-    try:
-        import jax
-        _enable_compile_cache()
-        dev = jax.devices()[0]
-        print(f"device: {dev}", file=sys.stderr)
-        msps = bench_receiver()
-    except Exception as e:  # pragma: no cover
-        print(f"bench failed: {e!r}", file=sys.stderr)
-        raise
+    msps = None
+    err = None
+    for attempt in range(3):
+        try:
+            import jax
+            _enable_compile_cache()
+            print(f"device: {jax.devices()[0]}", file=sys.stderr)
+            msps = bench_receiver()
+            break
+        except Exception as e:  # tunnel flakiness: retry, then report
+            err = repr(e)[:300]
+            print(f"bench attempt {attempt + 1} failed: {err}",
+                  file=sys.stderr)
+            time.sleep(10)
+    if msps is None:
+        print(json.dumps({"metric": "iq_msps_per_chip", "value": 0.0,
+                          "unit": "Msamples/s", "vs_baseline": 0.0,
+                          "error": err}))
+        return
     print(json.dumps({
         "metric": "iq_msps_per_chip",
         "value": round(msps, 2),
