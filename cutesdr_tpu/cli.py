@@ -149,6 +149,40 @@ def cmd_spectrum(args) -> int:
     return 0
 
 
+def cmd_record(args) -> int:
+    """Record raw IQ from a source to a capture file + JSON sidecar."""
+    import datetime
+
+    from cutesdr_tpu.io.filesource import RawIQWriter
+
+    args.mode = getattr(args, "mode", "usb")
+    block = 65536
+    source = _make_source(args, block)
+    w = RawIQWriter(args.out, args.fmt)
+    n_total = 0
+    target = int(args.seconds * args.fs)
+    while n_total < target:
+        iq = source()
+        if iq is None:
+            break
+        w.write(iq)
+        n_total += len(iq)
+    w.close()
+    meta = {
+        "format": args.fmt,
+        "sample_rate": args.fs,
+        "center_frequency": args.freq,
+        "samples": n_total,
+        "datetime": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "source": args.source,
+    }
+    with open(args.out + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"recorded {n_total} samples -> {args.out} (+.meta.json)",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Run a source through the receiver with the browser waterfall UI."""
     import time as _time
@@ -223,6 +257,12 @@ def main(argv=None) -> int:
     p_spec.add_argument("--frames", type=int, default=10)
     p_spec.add_argument("--out", default="")
     p_spec.set_defaults(fn=cmd_spectrum)
+
+    p_rec = sub.add_parser("record", help="record raw IQ to a capture file")
+    _add_receiver_args(p_rec)
+    p_rec.add_argument("--out", default="capture.iq")
+    p_rec.add_argument("--fmt", default="int16", choices=["int16", "npy"])
+    p_rec.set_defaults(fn=cmd_record)
 
     p_srv = sub.add_parser("serve", help="browser spectrum/waterfall UI")
     _add_receiver_args(p_srv)

@@ -311,3 +311,14 @@ def test_resampler_tone_snr():
     # ~65 dB is the intrinsic quality of the 28-period nearest-neighbor sinc
     # interpolation method itself (same method as the reference)
     assert snr > 60.0, snr
+
+
+def test_resampler_to_int16():
+    y = jnp.asarray(np.array([0.5, -2.0, 40000.0, -40000.0]), F64)
+    out = np.asarray(resampler.to_int16(y, gain=1.0))
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, [0, -2, 32767, -32767])
+    # stereo: complex -> [n, 2]
+    yc = jnp.asarray(np.array([1 + 2j, -3 - 4j]), C128)
+    out2 = np.asarray(resampler.to_int16(yc, gain=100.0, stereo=True))
+    np.testing.assert_array_equal(out2, [[100, 200], [-300, -400]])
