@@ -37,6 +37,18 @@ class StageTimer:
         self.stats.setdefault(name, []).append(time.perf_counter() - t0)
         return out
 
+    def lap(self, name: str) -> None:
+        """Sample-to-sample mode: record the interval since the previous
+        lap() with this name (the reference's second bracket mode,
+        interface/perform.cpp Start2StopPerformance)."""
+        now = time.perf_counter()
+        last = getattr(self, "_laps", {}).get(name)
+        if not hasattr(self, "_laps"):
+            self._laps = {}
+        if last is not None:
+            self.stats.setdefault(name, []).append(now - last)
+        self._laps[name] = now
+
     def report(self, samples_per_call: dict[str, int] | None = None) -> str:
         lines = []
         for name, ts in self.stats.items():

@@ -88,3 +88,17 @@ def test_stream_metrics():
     assert d["missed_packets"] == 3
     assert "Msps" in m.status_line()
     json.loads(m.json_line())
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+    from cutesdr_tpu.profiling import StageTimer
+
+    t = StageTimer()
+    for _ in range(3):
+        t.timed("square", lambda v: v * v, jnp.arange(8.0))
+        t.lap("interval")
+    rep = t.report(samples_per_call={"square": 8})
+    assert "square" in rep and "ns/samp" in rep
+    assert len(t.stats["square"]) == 3
+    assert len(t.stats["interval"]) == 2
