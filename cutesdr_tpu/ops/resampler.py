@@ -105,10 +105,17 @@ def _times(params: ResamplerParams, t0, k):
 
 
 def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
-            max_out: int) -> tuple[ResamplerCarry, jax.Array, jax.Array]:
+            max_out: int,
+            interp: bool = False) -> tuple[ResamplerCarry, jax.Array, jax.Array]:
     """Resample one block.
 
     Returns (carry', y[max_out], n_valid).  y[k] for k >= n_valid is zero.
+
+    ``interp=True`` linearly interpolates between sinc-table points; measured
+    SNR is unchanged (~70 dB) because the method's ceiling is the 28-period
+    window itself, not table quantization — kept as an option, default off
+    (reference-exact truncating lookup).  Raising the ceiling needs a longer
+    sinc (SINC_PERIODS) — a TODO.md item.
     """
     n = x.shape[-1]
     rdtype = params.dt_hi.dtype
@@ -120,9 +127,15 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     valid = t_int < n
     t_safe = jnp.where(valid, t_int, 0)
     win = z[..., t_safe[:, None] + i[None, :]]             # [max_out, 28]
-    sindx = ((i[None, :].astype(rdtype) - t_frac[:, None])
-             * SINC_PERIOD_PTS).astype(jnp.int32)
-    sv = params.sinc[jnp.clip(sindx, 0, SINC_LENGTH - 1)]  # [max_out, 28]
+    spos = (i[None, :].astype(rdtype) - t_frac[:, None]) * SINC_PERIOD_PTS
+    sindx = spos.astype(jnp.int32)                         # truncates
+    s0 = params.sinc[jnp.clip(sindx, 0, SINC_LENGTH - 1)]  # [max_out, 28]
+    if interp:
+        s1 = params.sinc[jnp.clip(sindx + 1, 0, SINC_LENGTH - 1)]
+        frac = spos - sindx.astype(rdtype)
+        sv = s0 + frac * (s1 - s0)
+    else:
+        sv = s0
 
     if jnp.iscomplexobj(x):
         y = (jnp.sum(win.real * sv, axis=-1)
