@@ -85,8 +85,13 @@ def set_rate(params: ResamplerParams, rate: float) -> ResamplerParams:
 
 
 def max_out_for(block_len: int, nominal_rate: float) -> int:
-    """Static per-block output capacity with margin for rate corrections."""
-    return int(np.ceil(block_len / (nominal_rate * 0.999))) + 2
+    """Static per-block output capacity with margin for rate corrections.
+
+    The audio rate-lock's P controller can swing the ratio by up to
+    ±queue_half·P_GAIN ≈ ±0.2% (interface/soundout.cpp:456-462), so the
+    margin must exceed that or peak corrections would silently drop
+    samples against the static output shape."""
+    return int(np.ceil(block_len / (nominal_rate * 0.996))) + 4
 
 
 def _times(params: ResamplerParams, t0, k):

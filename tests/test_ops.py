@@ -323,3 +323,19 @@ def test_resampler_to_int16():
     yc = jnp.asarray(np.array([1 + 2j, -3 - 4j]), C128)
     out2 = np.asarray(resampler.to_int16(yc, gain=100.0, stereo=True))
     np.testing.assert_array_equal(out2, [[100, 200], [-300, -400]])
+
+
+def test_resampler_capacity_covers_max_rate_correction(rng):
+    """At the rate-lock's extreme correction (~±0.2%) no output may be lost
+    to the static capacity."""
+    nominal = 15625.0 / 48000.0
+    worst = nominal * (1.0 - 0.00195)       # max negative correction
+    cap = resampler.max_out_for(1024, nominal)
+    p, c = resampler.init(worst, rdtype=F64)
+    total = 0
+    for _ in range(6):
+        x = rng.standard_normal(1024)
+        c, y, nv = resampler.process(p, c, jnp.asarray(x), cap)
+        assert int(nv) < cap                # never saturates the capacity
+        total += int(nv)
+    assert abs(total - 6 * 1024 / worst) <= 2
