@@ -372,3 +372,33 @@ def test_sdr_client_frequency_clamp():
     assert c.set_frequency(50_000_000) == 30_000_000
     # above everything -> clamps to option max
     assert c.set_frequency(500_000_000) == 120_000_000
+
+
+def test_sdr_client_ad6620_ack_pump():
+    """SDR-IQ bandwidth change: the register-load sequence must be paced by
+    data-item acks (interface/sdrinterface.cpp:376-380)."""
+    from cutesdr_tpu.io.netsdr import RadioType, SdrClient
+
+    sent = []
+
+    class W:
+        def write(self, b):
+            sent.append(bytes(b))
+
+    c = SdrClient()
+    c.radio_type = RadioType.SDRIQ
+    c._writer = W()
+    c.set_bandwidth_index(0)
+    assert len(sent) == 1           # first register write goes out
+
+    ack = AscpMessage(ascp.TYPE_DATA_ITEM_ACK)
+    ack.add_u8(1)                   # AD6620 load ack
+    total = 1
+    while c._ad6620 is not None and total < 1000:
+        c._parse_message(AscpMessage.from_bytes(ack.to_bytes()))
+        total = len(sent)
+    # 11 control registers + 256 taps
+    assert total == 11 + 256
+    assert c._ad6620 is None        # load complete
+    # sample rate follows the SDR-IQ table
+    assert abs(c.sample_rate - 66666666.6667 / 1200.0) < 1.0
