@@ -94,6 +94,21 @@ def decode_iq_packet(data: bytes) -> tuple[int, np.ndarray] | None:
     return seq, iq.astype(np.complex64)
 
 
+def decode_iq_packet_dual(data: bytes):
+    """Decode a dual-channel data packet -> (seq, iq_ch1, iq_ch2).
+
+    In the NetSDR dual-channel modes (CI_RX_CHAN_SETUP_DUAL_*) the payload
+    interleaves the two receivers' complex samples: I1 Q1 I2 Q2 ...  (The
+    reference defines the protocol constants but never demodulates the
+    second channel; this framework runs twin chains — shard/channels.py
+    StackedReceiver.)"""
+    decoded = decode_iq_packet(data)
+    if decoded is None:
+        return None
+    seq, iq = decoded
+    return seq, iq[0::2], iq[1::2]
+
+
 class SequenceTracker:
     """Missed-UDP-packet accounting (interface/netiobase.cpp:488-496)."""
 

@@ -85,3 +85,49 @@ class ChannelBank:
              for f in freqs])
         self.params = self.params._replace(
             nco=self.params.nco._replace(phase_inc=incs))
+
+
+@dataclass
+class StackedReceiver:
+    """N independent receiver chains over N *separate* streams (e.g. the
+    two RX channels of a dual-ADC radio, or antenna-array elements).
+
+    Same static config for every chain, per-chain tune frequencies;
+    input per step: [n_chains, block_size] complex samples.  With a mesh,
+    chains shard over the 'ch' axis like ChannelBank.
+    """
+    cfg: rx.ReceiverConfig
+    tune_freqs: Sequence[float]
+    mesh: Mesh | None = None
+    axis: str = "ch"
+    rdtype: Any = jnp.float32
+
+    def __post_init__(self):
+        n = len(self.tune_freqs)
+        p0, s0 = rx.init(self.cfg, self.rdtype)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n,) + a.shape), p0)
+        incs = jnp.asarray(
+            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
+             for f in self.tune_freqs])
+        params = params._replace(nco=params.nco._replace(phase_inc=incs))
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n,) + a.shape), s0)
+        self.params, self.state = params, state
+
+        cfg = self.cfg
+        step = jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
+                        in_axes=(0, 0, 0))
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(self.axis))
+            self.params = jax.device_put(self.params, shard)
+            self.state = jax.device_put(self.state, shard)
+            self._step = jax.jit(step, in_shardings=(shard, shard, shard),
+                                 out_shardings=(shard, shard))
+        else:
+            self._step = jax.jit(step)
+
+    def process(self, iq_stack) -> rx.StepOutput:
+        self.state, out = self._step(self.params, self.state,
+                                     jnp.asarray(iq_stack))
+        return out
