@@ -224,3 +224,60 @@ class BlankerOracle:
             else:
                 out[n] = oldest
         return out
+
+
+# --- PLL demods (dsp/fmdemod.cpp:157-192, dsp/samdemod.cpp:78-110) ---
+
+class FmPllOracle:
+    """FM PLL frequency tracker, per-sample (excluding noise squelch)."""
+
+    def __init__(self, fs):
+        norm = K_2PI / fs
+        self.alpha = 2.0 * 0.707 * 6000.0 * norm
+        self.beta = self.alpha ** 2 / (4.0 * 0.707 ** 2)
+        self.limit = 6000.0 * norm
+        self.out_gain = 25000.0 / self.limit
+        self.dc_alpha = 1.0 - np.exp(-1.0 / (fs * 0.01))
+        self.phase = 0.0
+        self.freq = 0.0
+        self.dc = 0.0
+
+    def __call__(self, x):
+        out = np.empty(len(x))
+        for n, v in enumerate(x):
+            tmp = v * np.exp(1j * self.phase)
+            err = -np.arctan2(tmp.imag, tmp.real)
+            self.freq = np.clip(self.freq + self.beta * err,
+                                -self.limit, self.limit)
+            self.phase += self.freq + self.alpha * err
+            self.dc = (1 - self.dc_alpha) * self.dc + self.dc_alpha * self.freq
+            out[n] = (self.freq - self.dc) * self.out_gain
+        self.phase = np.mod(self.phase, K_2PI)
+        return out
+
+
+class SamPllOracle:
+    """SAM carrier-tracking PLL, per-sample (mono: DC-removed real part)."""
+
+    def __init__(self, fs):
+        norm = K_2PI / fs
+        self.alpha = 2.0 * 0.707 * 100.0 * norm
+        self.beta = self.alpha ** 2 / (4.0 * 0.707 ** 2)
+        self.limit = 1000.0 * norm
+        self.phase = 0.0
+        self.freq = 0.0
+        self.z1 = 0.0
+
+    def __call__(self, x):
+        out = np.empty(len(x))
+        for n, v in enumerate(x):
+            tmp = v * np.exp(-1j * self.phase)
+            err = np.arctan2(tmp.imag, tmp.real)
+            self.freq = np.clip(self.freq + self.beta * err,
+                                -self.limit, self.limit)
+            self.phase += self.freq + self.alpha * err
+            z0 = tmp.real + self.z1 * 0.99
+            out[n] = z0 - self.z1
+            self.z1 = z0
+        self.phase = np.mod(self.phase, K_2PI)
+        return out

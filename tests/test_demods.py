@@ -138,3 +138,37 @@ def test_fm_squelch_opens_on_signal():
     for _ in range(3):
         c, y = fm.process(p, c, jnp.asarray(x, C128))
     assert not bool(c.squelch_on)
+
+
+def test_fm_pll_matches_oracle():
+    """The wrap-form PLL must track the rotate+atan2 reference recurrence
+    (identical math; float rounding differences decay through the stable
+    loop)."""
+    import oracles
+    fs = 62500.0
+    n = 8192
+    t = np.arange(n) / fs
+    x = (8000.0 * np.exp(1j * ((2000.0 / 700.0) * np.sin(2 * np.pi * 700.0 * t)
+                               + 2 * np.pi * 500.0 * t))).astype(complex)
+    p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    _, _, _, audio = fm._pll_scan(p, c, jnp.asarray(x, C128))
+    want = oracles.FmPllOracle(fs)(x)
+    got = np.asarray(audio)
+    # after lock-in, trajectories coincide
+    scale = np.abs(want[2000:]).max()
+    np.testing.assert_allclose(got[2000:], want[2000:], atol=1e-6 * scale)
+
+
+def test_sam_pll_matches_oracle():
+    import oracles
+    fs = 15625.0
+    n = 8192
+    t = np.arange(n) / fs
+    env = 6000.0 * (1.0 + 0.4 * np.cos(2 * np.pi * 350.0 * t))
+    x = env * np.exp(1j * 2 * np.pi * 200.0 * t)
+    p, c = sam.init(fs, F64)
+    c2, got = sam.process(p, c, jnp.asarray(x, C128))
+    want = oracles.SamPllOracle(fs)(x)
+    scale = np.abs(want[2000:]).max()
+    np.testing.assert_allclose(np.asarray(got)[2000:], want[2000:],
+                               atol=1e-6 * scale)
