@@ -90,3 +90,41 @@ def test_receiver_with_pallas_decimator():
     a_p, a_f = np.concatenate(a_p), np.concatenate(a_f)
     scale = np.abs(a_f).max()
     np.testing.assert_allclose(a_p, a_f, atol=3e-4 * scale)
+
+
+def test_fastfir4_matches_xla(rng):
+    """Four-step Pallas overlap-save == the batched jnp.fft implementation."""
+    from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
+    from cutesdr_tpu.ops import fastfir
+
+    fs = 62500.0
+    k = FastFirFourStep(100.0, 2800.0, 0.0, fs, interpret=True)
+    fp, fc = fastfir.init(100.0, 2800.0, 0.0, fs, jnp.complex64)
+    n = 4 * 1024
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 100
+         ).astype(np.complex64)
+    kc = k.init_carry()
+    got, want = [], []
+    for b in np.split(x, 2):
+        kc, y1 = k(k.params, kc, jnp.asarray(b))
+        fc, y2 = fastfir.process(fp, fc, jnp.asarray(b))
+        got.append(np.asarray(y1))
+        want.append(np.asarray(y2))
+    got, want = np.concatenate(got), np.concatenate(want)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+
+
+def test_fastfir4_retune(rng):
+    from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
+    from cutesdr_tpu.testbench.generators import tone as _tone
+
+    fs = 62500.0
+    k = FastFirFourStep(100.0, 2800.0, 0.0, fs, interpret=True)
+    x = _tone(4096, 5000.0, fs, -20.0).astype(np.complex64)  # stopband tone
+    _, y = k(k.params, k.init_carry(), jnp.asarray(x))
+    p_stop = float(jnp.mean(jnp.abs(y[2048:]) ** 2))
+    k.retune(100.0, 6000.0, 0.0)                              # now passband
+    _, y2 = k(k.params, k.init_carry(), jnp.asarray(x))
+    p_pass = float(jnp.mean(jnp.abs(y2[2048:]) ** 2))
+    assert p_pass > 1e6 * p_stop
