@@ -87,7 +87,8 @@ class ReceiverConfig:
     fastfir_nfft: int = fastfir.NFFT
     fastfir_ntaps: int = fastfir.NFIR
     decimator_impl: str = "fused"      # "fused" | "cascade" | "pallas"
-    pallas_interpret: bool = False     # run the pallas kernel interpreted (CPU tests)
+    fastfir_impl: str = "xla"          # "xla" | "pallas" (four-step kernel)
+    pallas_interpret: bool = False     # run the pallas kernels interpreted (CPU tests)
     probes: bool = False
 
     def __post_init__(self):
@@ -179,6 +180,17 @@ def _make_mixdec(cfg: ReceiverConfig):
                        interpret=cfg.pallas_interpret)
 
 
+def _make_fastfir4(cfg: ReceiverConfig):
+    from cutesdr_tpu.kernels import fastfir4
+    if (cfg.fastfir_nfft, cfg.fastfir_ntaps) != (fastfir4.N,
+                                                 fastfir4.N - fastfir4.VALID + 1):
+        raise ValueError("fastfir_impl='pallas' supports only the default "
+                         "2048/1025 filter sizes")
+    return fastfir4.FastFirFourStep(cfg.low_cut, cfg.hi_cut, cfg.cw_offset,
+                                    cfg.plan.out_rate,
+                                    interpret=cfg.pallas_interpret)
+
+
 def _demod_init(cfg: ReceiverConfig, rdtype):
     fs = cfg.plan.out_rate
     m = cfg.mode_id
@@ -221,9 +233,13 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
         dec_p, dec_c = md.params, md.init_carry()
     else:
         dec_p, dec_c = None, decimator.cascade_init(cfg.plan, cdtype)
-    ff_p, ff_c = fastfir.init(cfg.low_cut, cfg.hi_cut, cfg.cw_offset, fs_out,
-                              cdtype, nfft=cfg.fastfir_nfft,
-                              ntaps=cfg.fastfir_ntaps)
+    if cfg.fastfir_impl == "pallas":
+        k4 = _make_fastfir4(cfg)
+        ff_p, ff_c = k4.params, k4.init_carry()
+    else:
+        ff_p, ff_c = fastfir.init(cfg.low_cut, cfg.hi_cut, cfg.cw_offset,
+                                  fs_out, cdtype, nfft=cfg.fastfir_nfft,
+                                  ntaps=cfg.fastfir_ntaps)
     agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, fs_out)
     agc_p = agc.make_params(agc_cfg, cfg.agc_thresh_db, cfg.agc_manual_gain_db,
                             cfg.agc_slope, cfg.agc_decay_ms, rdtype)
@@ -323,7 +339,12 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
     if probes is not None:
         probes["p1_downconvert"] = base
 
-    ff_c, filt = fastfir.process(params.chan_filter, state.chan_filter, base)
+    if cfg.fastfir_impl == "pallas":
+        ff_c, filt = _make_fastfir4(cfg)(params.chan_filter,
+                                         state.chan_filter, base)
+    else:
+        ff_c, filt = fastfir.process(params.chan_filter, state.chan_filter,
+                                     base)
     if probes is not None:
         probes["p2_fastfir"] = filt
 
@@ -361,11 +382,16 @@ class Receiver:
                 dec=self.params.dec._replace(phase_inc=jnp.asarray(inc)))
 
     def set_filter(self, low_cut: float, hi_cut: float) -> None:
-        self.params = self.params._replace(
-            chan_filter=fastfir.retune(self.params.chan_filter, low_cut,
-                                       hi_cut, self.cfg.cw_offset,
-                                       self.cfg.output_rate,
-                                       ntaps=self.cfg.fastfir_ntaps))
+        if self.cfg.fastfir_impl == "pallas":
+            k4 = _make_fastfir4(self.cfg)
+            k4.retune(low_cut, hi_cut, self.cfg.cw_offset)
+            self.params = self.params._replace(chan_filter=k4.params)
+        else:
+            self.params = self.params._replace(
+                chan_filter=fastfir.retune(self.params.chan_filter, low_cut,
+                                           hi_cut, self.cfg.cw_offset,
+                                           self.cfg.output_rate,
+                                           ntaps=self.cfg.fastfir_ntaps))
 
     def set_agc(self, thresh_db=None, manual_gain_db=None, slope=None,
                 decay_ms=None) -> None:

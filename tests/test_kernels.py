@@ -128,3 +128,25 @@ def test_fastfir4_retune(rng):
     _, y2 = k(k.params, k.init_carry(), jnp.asarray(x))
     p_pass = float(jnp.mean(jnp.abs(y2[2048:]) ** 2))
     assert p_pass > 1e6 * p_stop
+
+
+def test_receiver_with_pallas_fastfir():
+    """fastfir_impl='pallas' (four-step kernel) matches the XLA receiver."""
+    from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+
+    kw = dict(input_rate=500_000.0, mode="usb", tune_freq=20_000.0,
+              audio_rate=None, agc_on=False)
+    rx_p = Receiver(ReceiverConfig(fastfir_impl="pallas",
+                                   pallas_interpret=True, **kw))
+    rx_x = Receiver(ReceiverConfig(**kw))
+    x = tone(rx_x.cfg.block_size * 2, 21_000.0, 500_000.0, -20.0)
+    a_p, a_x = [], []
+    for b in np.split(x, 2):
+        a_p.append(np.asarray(rx_p.process(jnp.asarray(b, C64)).audio))
+        a_x.append(np.asarray(rx_x.process(jnp.asarray(b, C64)).audio))
+    a_p, a_x = np.concatenate(a_p), np.concatenate(a_x)
+    scale = np.abs(a_x).max()
+    np.testing.assert_allclose(a_p, a_x, atol=3e-4 * scale)
+    # live filter retune works through the kernel params
+    rx_p.set_filter(200.0, 3000.0)
+    rx_p.process(jnp.asarray(x[:rx_p.cfg.block_size], C64))
