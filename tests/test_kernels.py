@@ -150,3 +150,22 @@ def test_receiver_with_pallas_fastfir():
     # live filter retune works through the kernel params
     rx_p.set_filter(200.0, 3000.0)
     rx_p.process(jnp.asarray(x[:rx_p.cfg.block_size], C64))
+
+
+def test_receiver_all_pallas_front_end():
+    """Both Pallas kernels together (mix+decimate and four-step filter)."""
+    from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+
+    kw = dict(input_rate=500_000.0, mode="usb", tune_freq=20_000.0,
+              audio_rate=None, agc_on=False)
+    rx_p = Receiver(ReceiverConfig(decimator_impl="pallas",
+                                   fastfir_impl="pallas",
+                                   pallas_interpret=True, **kw))
+    rx_x = Receiver(ReceiverConfig(**kw))
+    x = tone(rx_x.cfg.block_size * 2, 21_000.0, 500_000.0, -20.0)
+    a_p = np.concatenate([np.asarray(rx_p.process(jnp.asarray(b, C64)).audio)
+                          for b in np.split(x, 2)])
+    a_x = np.concatenate([np.asarray(rx_x.process(jnp.asarray(b, C64)).audio)
+                          for b in np.split(x, 2)])
+    scale = np.abs(a_x).max()
+    np.testing.assert_allclose(a_p, a_x, atol=5e-4 * scale)
