@@ -134,9 +134,12 @@ class FastFirFourStep:
         self.sample_rate = sample_rate
         self.interpret = interpret
         d16, d128, tw = _dft_tables()
-        self._d16 = jnp.asarray(np.stack([d16.real, d16.imag]), jnp.float32)
-        self._d128 = jnp.asarray(np.stack([d128.real, d128.imag]), jnp.float32)
-        self._tw = jnp.asarray(np.stack([tw.real, tw.imag]), jnp.float32)
+        # keep as host arrays: closure-captured *device* constants force a
+        # device->host pull at trace time (breaks on transfer-limited
+        # backends); numpy constants embed directly
+        self._d16 = np.stack([d16.real, d16.imag]).astype(np.float32)
+        self._d128 = np.stack([d128.real, d128.imag]).astype(np.float32)
+        self._tw = np.stack([tw.real, tw.imag]).astype(np.float32)
         self.params = FastFir4Params(h2=jnp.asarray(_permute_h(h)))
 
     def retune(self, f_lo_cut: float, f_hi_cut: float, offset: float) -> None:
