@@ -92,14 +92,18 @@ def fused_init(plan: DecimationPlan, cdtype=jnp.complex64,
 
 
 def fused_process(plan: DecimationPlan, params: FusedParams, carry: FusedCarry,
-                  x: jax.Array) -> tuple[FusedCarry, jax.Array]:
+                  x: jax.Array, compute_dtype=None) -> tuple[FusedCarry, jax.Array]:
     """y[n] = sum_j H[j] x[D·n + d - j]  for n = 0 .. len(x)/D - 1.
 
     With z = concat(tail, x) and tail holding the last LH-1-d input samples,
     window n covers z[D·n : D·n + LH] under the flipped-tap correlation.
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv in bf16 with f32 accumulation
+    (quantization SNR ~50 dB; see ops/util.strided_corr).
     """
     h = params.h_eq
     z = jnp.concatenate([carry.tail, x], axis=-1)
-    y = complex_strided_corr(z, h[::-1], stride=plan.decimation)
+    y = complex_strided_corr(z, h[::-1], stride=plan.decimation,
+                             compute_dtype=compute_dtype)
     tail_len = carry.tail.shape[-1]
     return FusedCarry(tail=z[..., z.shape[-1] - tail_len:]), y

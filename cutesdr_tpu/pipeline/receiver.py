@@ -87,6 +87,8 @@ class ReceiverConfig:
     fastfir_nfft: int = fastfir.NFFT
     fastfir_ntaps: int = fastfir.NFIR
     decimator_impl: str = "fused"      # "fused" | "cascade" | "pallas"
+    front_dtype: str = "f32"           # "f32" | "bf16" (fused decim conv in
+                                       # bf16 w/ f32 accum; ~50 dB quant SNR)
     fastfir_impl: str = "xla"          # "xla" | "pallas" (four-step kernel)
     pallas_interpret: bool = False     # run the pallas kernels interpreted (CPU tests)
     probes: bool = False
@@ -94,6 +96,10 @@ class ReceiverConfig:
     def __post_init__(self):
         if self.mode not in MODE_LIMITS:
             raise ValueError(f"unknown mode {self.mode!r}")
+        if self.front_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown front_dtype {self.front_dtype!r}")
+        if self.front_dtype == "bf16" and self.decimator_impl != "fused":
+            raise ValueError("front_dtype='bf16' requires decimator_impl='fused'")
         lo, hi = MODE_DEFAULT_CUTS[self.mode]
         if self.low_cut is None:
             object.__setattr__(self, "low_cut", float(lo))
@@ -332,8 +338,10 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
     else:
         nco_c, mixed = nco.process(params.nco, state.nco, iq)
         if cfg.decimator_impl == "fused":
+            cdt = jnp.bfloat16 if cfg.front_dtype == "bf16" else None
             dec_c, base = decimator.fused_process(cfg.plan, params.dec,
-                                                  state.dec, mixed)
+                                                  state.dec, mixed,
+                                                  compute_dtype=cdt)
         else:
             dec_c, base = decimator.cascade_process(cfg.plan, state.dec, mixed)
     if probes is not None:

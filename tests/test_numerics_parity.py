@@ -71,3 +71,33 @@ def test_f32_chain_matches_f64_oracle_chain():
     snr = 10 * np.log10(np.mean(want[skip:] ** 2)
                         / max(np.mean(err ** 2), 1e-30))
     assert snr > 60.0, f"f32 vs f64 chain SNR {snr:.1f} dB"
+
+
+@pytest.mark.slow
+def test_bf16_front_end_snr():
+    """front_dtype='bf16' (decimation conv in bf16, f32 accumulation) must
+    stay within bf16's ~50 dB quantization floor of the f32 chain.  AGC off
+    so the comparison is linear."""
+    base = dict(input_rate=500_000.0, mode="usb", tune_freq=100_000.0,
+                audio_rate=None, agc_on=False, agc_manual_gain_db=0.0)
+    cfg32 = ReceiverConfig(**base)
+    cfg16 = ReceiverConfig(**base, front_dtype="bf16")
+    gen = SignalGenerator(GenConfig(
+        sample_rate=cfg32.input_rate, sweep_start_hz=101_000.0,
+        sweep_stop_hz=101_000.0, sweep_rate_hz_per_sec=0.0,
+        signal_power_db=-20.0, noise_power_db=-120.0))
+    n_blocks = 4
+    x = gen.next_block(cfg32.block_size * n_blocks)
+
+    outs = {}
+    for key, cfg in (("f32", cfg32), ("bf16", cfg16)):
+        rx = Receiver(cfg)
+        got = [np.asarray(rx.process(jnp.asarray(b, jnp.complex64)).audio)
+               for b in np.split(x, n_blocks)]
+        outs[key] = np.concatenate(got)
+
+    skip = int(0.01 * cfg32.output_rate)
+    ref, q = outs["f32"][skip:], outs["bf16"][skip:]
+    err = q - ref
+    snr = 10 * np.log10(np.mean(ref ** 2) / max(np.mean(err ** 2), 1e-30))
+    assert snr > 40.0, f"bf16 front-end SNR {snr:.1f} dB"
