@@ -39,6 +39,32 @@ def _add_receiver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--probe", type=int, default=0,
                    help="dump probe tap N (1..7) to probeN.npy")
+    p.add_argument("--target-latency-ms", type=float, default=0.0,
+                   help="shrink the channel filter until the pipeline "
+                        "latency meets this target (0 = reference sizes)")
+    p.add_argument("--front-dtype", default="f32", choices=["f32", "bf16"],
+                   help="decimation-conv compute dtype (bf16 halves HBM "
+                        "traffic, ~67 dB SNR vs f32)")
+
+
+def _cfg_from_args(args, probes: bool = False):
+    from cutesdr_tpu.design.latency import choose_fastfir_sizes
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    cfg = ReceiverConfig(
+        input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
+        low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
+        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
+        stereo=args.stereo, front_dtype=args.front_dtype, probes=probes)
+    if args.target_latency_ms > 0:
+        try:
+            cfg = choose_fastfir_sizes(cfg, args.target_latency_ms * 1e-3)
+        except ValueError as e:
+            raise SystemExit(f"error: {e}")
+        print(f"latency target {args.target_latency_ms} ms -> "
+              f"fastfir {cfg.fastfir_nfft}/{cfg.fastfir_ntaps}",
+              file=sys.stderr)
+    return cfg
 
 
 def _make_source(args, block_size):
@@ -80,13 +106,9 @@ def cmd_run(args) -> int:
     import jax.numpy as jnp
 
     from cutesdr_tpu.io.filesource import WavSink
-    from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+    from cutesdr_tpu.pipeline.receiver import Receiver
 
-    cfg = ReceiverConfig(
-        input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
-        low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
-        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
-        stereo=args.stereo, probes=args.probe > 0)
+    cfg = _cfg_from_args(args, probes=args.probe > 0)
     rx = Receiver(cfg)
     rx.set_volume(args.volume)
     source = _make_source(args, cfg.block_size)
@@ -187,15 +209,10 @@ def cmd_serve(args) -> int:
     """Run a source through the receiver with the browser waterfall UI."""
     import time as _time
 
-    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
     from cutesdr_tpu.serve import SpectrumServer
     from cutesdr_tpu.session import ReceiverSession
 
-    cfg = ReceiverConfig(
-        input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
-        low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
-        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
-        stereo=args.stereo)
+    cfg = _cfg_from_args(args)
     sess = ReceiverSession(cfg)
     srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                          on_tune=sess.tune_clicked).start()
@@ -220,6 +237,20 @@ def cmd_serve(args) -> int:
     finally:
         srv.stop()
     print(sess.status_line(), file=sys.stderr)
+    return 0
+
+
+def cmd_latency(args) -> int:
+    """Print the per-component latency budget for a configuration."""
+    from cutesdr_tpu.design.latency import latency_report
+
+    cfg = _cfg_from_args(args)
+    rep = latency_report(cfg, include_queue=args.with_queue)
+    print(json.dumps({
+        "fastfir_nfft": cfg.fastfir_nfft, "fastfir_ntaps": cfg.fastfir_ntaps,
+        "decimation": cfg.plan.decimation, "block_size": cfg.block_size,
+        **{k: round(v * 1e3, 3) for k, v in rep.items()},
+        "unit": "ms"}))
     return 0
 
 
@@ -270,6 +301,12 @@ def main(argv=None) -> int:
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")
     p_srv.set_defaults(fn=cmd_serve)
+
+    p_lat = sub.add_parser("latency", help="latency budget for a config")
+    _add_receiver_args(p_lat)
+    p_lat.add_argument("--with-queue", action="store_true",
+                       help="include the audio-queue half-fill delay")
+    p_lat.set_defaults(fn=cmd_latency)
 
     p_disc = sub.add_parser("discover", help="find radios on the LAN")
     p_disc.add_argument("--timeout", type=float, default=0.5)

@@ -1,0 +1,88 @@
+"""Latency accounting (design/latency.py): the analytic group-delay budget
+must match the measured delay of an impulse driven through the real chain,
+and the auto-chooser must pick the sharpest filter that meets a target.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cutesdr_tpu.design.latency import (MIN_NFFT, choose_fastfir_sizes,
+                                        latency_report)
+from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
+
+
+def test_impulse_delay_matches_group_delay_budget():
+    """An input impulse must surface in the audio at exactly the modeled
+    decimator + channel-filter group delay (ssb demod is Re(), AGC off,
+    no resampler — the remaining path is linear)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", tune_freq=0.0,
+                         audio_rate=None, agc_on=False,
+                         agc_manual_gain_db=0.0)
+    rep = latency_report(cfg)
+    gd_out = ((rep["decimator_group_delay"] + rep["fastfir_group_delay"])
+              * cfg.output_rate)
+
+    rx = Receiver(cfg)
+    x = np.zeros(cfg.block_size * 3, np.complex64)
+    x[0] = 1000.0
+    audio = np.concatenate(
+        [np.asarray(rx.process(jnp.asarray(b)).audio)
+         for b in np.split(x, 3)])
+    measured = int(np.argmax(np.abs(audio)))
+    assert abs(measured - gd_out) <= 2, (measured, gd_out)
+
+
+def test_latency_report_components():
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="usb")
+    rep = latency_report(cfg)
+    assert rep["block_accumulation"] == cfg.block_size / cfg.input_rate
+    assert rep["total"] == pytest.approx(sum(
+        v for k, v in rep.items() if k != "total"))
+    # the queue only appears when asked for
+    assert "audio_queue_half_fill" not in rep
+    repq = latency_report(cfg, include_queue=True)
+    assert repq["audio_queue_half_fill"] == pytest.approx(8192 / 48000.0)
+
+
+def test_choose_fastfir_sizes_meets_target_and_maximizes_sharpness():
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="usb")
+    # default (2048/1025) latency for this plan is ~100 ms; ask for 25 ms
+    tuned = choose_fastfir_sizes(cfg, 25e-3)
+    rep = latency_report(tuned)
+    assert rep["total"] <= 25e-3
+    # the next size up must overshoot (chooser picked the sharpest fit)
+    from dataclasses import replace
+    bigger = replace(tuned, fastfir_nfft=tuned.fastfir_nfft * 2,
+                     fastfir_ntaps=tuned.fastfir_nfft + 1)
+    assert latency_report(bigger)["total"] > 25e-3
+    assert tuned.fastfir_ntaps == tuned.fastfir_nfft // 2 + 1
+
+
+def test_choose_fastfir_sizes_runs_end_to_end():
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=100_000.0, audio_rate=None, agc_on=False)
+    tuned = choose_fastfir_sizes(cfg, 15e-3)
+    assert tuned.fastfir_nfft < 2048
+    rx = Receiver(tuned)
+    from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator
+    gen = SignalGenerator(GenConfig(
+        sample_rate=tuned.input_rate, sweep_start_hz=101_000.0,
+        sweep_stop_hz=101_000.0, sweep_rate_hz_per_sec=0.0,
+        signal_power_db=-20.0, noise_power_db=-120.0))
+    x = gen.next_block(tuned.block_size * 6)
+    audio = np.concatenate(
+        [np.asarray(rx.process(jnp.asarray(b, jnp.complex64)).audio)
+         for b in np.split(x, 6)])
+    a = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.argmax(spec) * tuned.output_rate / len(a)
+    assert abs(f_pk - 1000.0) < 2 * tuned.output_rate / len(a)
+
+
+def test_choose_fastfir_sizes_unreachable_target_raises():
+    cfg = ReceiverConfig(input_rate=100_000.0, mode="usb")
+    with pytest.raises(ValueError, match="unreachable"):
+        choose_fastfir_sizes(cfg, 1e-4)
+    # sanity: MIN_NFFT is what sets the floor
+    assert MIN_NFFT == 128
