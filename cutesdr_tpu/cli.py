@@ -212,10 +212,15 @@ def cmd_serve(args) -> int:
     from cutesdr_tpu.serve import SpectrumServer
     from cutesdr_tpu.session import ReceiverSession
 
+    from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
+
     cfg = _cfg_from_args(args)
     sess = ReceiverSession(cfg)
     srv = SpectrumServer(port=args.port, sample_rate=args.fs,
-                         on_tune=sess.tune_clicked).start()
+                         on_tune=sess.tune_clicked,
+                         on_filter=sess.set_filter).start()
+    srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
+                 hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
     sess.on_spectrum = lambda db: srv.update(
         db, smeter_db=sess.metrics.smeter_ave_db)
     source = _make_source(args, cfg.block_size)

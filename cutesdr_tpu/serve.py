@@ -1,10 +1,13 @@
 """Browser spectrum/waterfall display served over plain HTTP.
 
 Reference analogue: the Qt CPlotter widget (gui/plotter.cpp) — 2D spectrum
-+ scrolling waterfall with click-to-tune.  Here a dependency-free
-http.server hosting a canvas page that polls JSON spectrum frames; tune
-clicks POST back to the session.  The bin→pixel max-hold mapping runs
-on-device (pipeline/spectrum.screen_map); the page just draws rows.
++ scrolling waterfall with click-to-tune and draggable demod filter edges
+(gui/plotter.cpp:140-372).  Here a dependency-free http.server hosting a
+canvas page; spectrum frames are *pushed* over Server-Sent Events (GET
+/events) the moment the display path produces them (no polling), with
+/spectrum.json kept as a pull fallback.  Tune clicks and filter-edge drags
+POST back to the session; the bin→pixel max-hold mapping runs on-device
+(pipeline/spectrum.screen_map), the page just draws rows.
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ canvas{display:block;margin-top:4px;image-rendering:pixelated}
 <script>
 const spec = document.getElementById('spec'), wf = document.getElementById('wf');
 const sctx = spec.getContext('2d'), wctx = wf.getContext('2d');
+let view = {tune_hz:0, low_hz:-5000, hi_hz:5000, symmetric:false,
+            sample_rate:2e6, min_db:-120, max_db:0};
 function color(v){ // 0..1 -> waterfall palette
   const t=Math.max(0,Math.min(1,v));
   const r=Math.floor(255*Math.min(1,t*3-1.2>0?t*3-1.2:0));
@@ -34,107 +39,229 @@ function color(v){ // 0..1 -> waterfall palette
   const b=Math.floor(255*Math.min(1,t*3));
   return [r,g,b];
 }
-async function tick(){
-  try{
-    const r = await fetch('/spectrum.json');
-    const d = await r.json();
-    document.getElementById('status').textContent =
-      `fs=${d.sample_rate} Hz  S-meter=${d.smeter_db?.toFixed(1)??'n/a'} dB  `+
-      `range ${d.min_db}..${d.max_db} dB`;
-    const n = d.db.length, W = spec.width;
-    sctx.fillStyle='#111'; sctx.fillRect(0,0,W,spec.height);
-    sctx.strokeStyle='#4cf'; sctx.beginPath();
-    for(let x=0;x<W;x++){
-      const i=Math.floor(x*n/W);
-      const y=(1-(d.db[i]-d.min_db)/(d.max_db-d.min_db))*spec.height;
-      if(x===0)sctx.moveTo(x,y);else sctx.lineTo(x,y);
-    }
-    sctx.stroke();
-    const img = wctx.getImageData(0,0,wf.width,wf.height-1);
-    wctx.putImageData(img,0,1);
-    const row = wctx.createImageData(wf.width,1);
-    for(let x=0;x<wf.width;x++){
-      const i=Math.floor(x*n/wf.width);
-      const v=(d.db[i]-d.min_db)/(d.max_db-d.min_db);
-      const [r,g,b]=color(v);
-      row.data[4*x]=r; row.data[4*x+1]=g; row.data[4*x+2]=b; row.data[4*x+3]=255;
-    }
-    wctx.putImageData(row,0,0);
-  }catch(e){ document.getElementById('status').textContent='disconnected'; }
-  setTimeout(tick, 100);
+const fx = f => (f/view.sample_rate + 0.5) * spec.width;   // freq -> px
+const xf = x => (x/spec.width - 0.5) * view.sample_rate;   // px -> freq
+function drawFrame(d){
+  Object.assign(view, {tune_hz:d.tune_hz, low_hz:d.low_hz, hi_hz:d.hi_hz,
+    symmetric:d.symmetric, sample_rate:d.sample_rate,
+    min_db:d.min_db, max_db:d.max_db});
+  document.getElementById('status').textContent =
+    `fs=${d.sample_rate} Hz  tune=${(d.tune_hz/1e3).toFixed(3)} kHz  `+
+    `filter ${d.low_hz}..${d.hi_hz} Hz  `+
+    `S-meter=${d.smeter_db?.toFixed(1)??'n/a'} dB`;
+  const n = d.db.length, W = spec.width, H = spec.height;
+  sctx.fillStyle='#111'; sctx.fillRect(0,0,W,H);
+  // demod passband shading + edge/center markers
+  const x0 = fx(d.tune_hz + d.low_hz), x1 = fx(d.tune_hz + d.hi_hz);
+  sctx.fillStyle='rgba(80,160,255,0.15)'; sctx.fillRect(x0,0,x1-x0,H);
+  sctx.strokeStyle='#f44'; sctx.beginPath();
+  sctx.moveTo(fx(d.tune_hz),0); sctx.lineTo(fx(d.tune_hz),H); sctx.stroke();
+  sctx.strokeStyle='rgba(120,200,255,0.8)';
+  for (const xe of [x0,x1]) { sctx.beginPath();
+    sctx.moveTo(xe,0); sctx.lineTo(xe,H); sctx.stroke(); }
+  sctx.strokeStyle='#4cf'; sctx.beginPath();
+  for(let x=0;x<W;x++){
+    const i=Math.floor(x*n/W);
+    const y=(1-(d.db[i]-d.min_db)/(d.max_db-d.min_db))*H;
+    if(x===0)sctx.moveTo(x,y);else sctx.lineTo(x,y);
+  }
+  sctx.stroke();
+  const img = wctx.getImageData(0,0,wf.width,wf.height-1);
+  wctx.putImageData(img,0,1);
+  const row = wctx.createImageData(wf.width,1);
+  for(let x=0;x<wf.width;x++){
+    const i=Math.floor(x*n/wf.width);
+    const v=(d.db[i]-d.min_db)/(d.max_db-d.min_db);
+    const [r,g,b]=color(v);
+    row.data[4*x]=r; row.data[4*x+1]=g; row.data[4*x+2]=b; row.data[4*x+3]=255;
+  }
+  wctx.putImageData(row,0,0);
 }
-spec.addEventListener('click', async ev=>{
-  const fr = ev.offsetX/spec.width;
-  await fetch('/tune', {method:'POST', body: JSON.stringify({fraction:fr})});
+// --- push channel (SSE), with poll fallback ---
+function connect(){
+  const es = new EventSource('/events');
+  es.onmessage = ev => drawFrame(JSON.parse(ev.data));
+  es.onerror = () => { es.close();
+    document.getElementById('status').textContent='reconnecting…';
+    setTimeout(connect, 1000); };
+}
+connect();
+// --- interactions: drag edges / drag center / click-to-tune ---
+let drag = null, lastPost = 0;
+const HIT = 6; // px
+function hitTest(x){
+  if (Math.abs(x - fx(view.tune_hz + view.low_hz)) < HIT) return 'low';
+  if (Math.abs(x - fx(view.tune_hz + view.hi_hz)) < HIT) return 'hi';
+  if (Math.abs(x - fx(view.tune_hz)) < HIT) return 'center';
+  return null;
+}
+async function post(path, body){
+  const now = Date.now();
+  if (now - lastPost < 50) return;      // throttle drag updates
+  lastPost = now;
+  const r = await fetch(path, {method:'POST', body: JSON.stringify(body)});
+  if (r.status === 200) { const d = await r.json(); Object.assign(view, d); }
+}
+spec.addEventListener('mousemove', ev=>{
+  const h = drag || hitTest(ev.offsetX);
+  spec.style.cursor = h ? (h==='center'?'grab':'col-resize') : 'crosshair';
+  if (!drag) return;
+  const f = xf(ev.offsetX);
+  if (drag === 'center') post('/tune', {freq_hz: f});
+  else if (drag === 'low') {
+    let lo = f - view.tune_hz;
+    post('/filter', {low_hz: lo, hi_hz: view.symmetric ? -lo : view.hi_hz});
+  } else {
+    let hi = f - view.tune_hz;
+    post('/filter', {low_hz: view.symmetric ? -hi : view.low_hz, hi_hz: hi});
+  }
 });
-tick();
+spec.addEventListener('mousedown', ev=>{ drag = hitTest(ev.offsetX); });
+window.addEventListener('mouseup', ev=>{
+  if (drag === null && ev.target === spec)
+    post('/tune', {freq_hz: xf(ev.offsetX)});
+  drag = null;
+});
 </script></body></html>"""
 
 
 class SpectrumServer:
-    """Serves the page + latest spectrum; callbacks wire into a session."""
+    """Serves the page + spectrum frames; callbacks wire into a session.
+
+    * ``update(db, smeter_db)`` publishes a frame: stored for /spectrum.json
+      and pushed to every open /events (SSE) stream.
+    * ``set_view(tune_hz=, low_hz=, hi_hz=, symmetric=)`` keeps the demod
+      overlay in sync; POST /tune and /filter update it from the callbacks'
+      return values (rounded / clamped by the session).
+    """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  sample_rate: float = 2e6, min_db: float = -120.0,
-                 max_db: float = 0.0, on_tune=None):
+                 max_db: float = 0.0, on_tune=None, on_filter=None):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
-        self._lock = threading.Lock()
+        self._cond = threading.Condition()
+        self._seq = 0
+        self._stopping = False
         self.sample_rate = sample_rate
         self.min_db, self.max_db = min_db, max_db
         self.on_tune = on_tune
+        self.on_filter = on_filter
+        self.view = {"tune_hz": 0.0, "low_hz": -5000.0, "hi_hz": 5000.0,
+                     "symmetric": False}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
                 pass
 
-            def do_GET(self):
-                if self.path == "/":
-                    body = _PAGE.encode()
-                    ctype = "text/html"
-                elif self.path == "/spectrum.json":
-                    with outer._lock:
-                        body = json.dumps({
-                            "db": [round(float(v), 1) for v in outer._db],
-                            "sample_rate": outer.sample_rate,
-                            "min_db": outer.min_db, "max_db": outer.max_db,
-                            "smeter_db": outer._smeter,
-                        }).encode()
-                    ctype = "application/json"
-                else:
-                    self.send_error(404)
-                    return
-                self.send_response(200)
+            def _send(self, body: bytes, ctype: str, code: int = 200):
+                self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_GET(self):
+                if self.path == "/":
+                    self._send(_PAGE.encode(), "text/html")
+                elif self.path == "/spectrum.json":
+                    with outer._cond:
+                        body = outer._frame_json()
+                    self._send(body, "application/json")
+                elif self.path == "/events":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    last = outer._seq - 1   # send the current frame at once
+                    try:
+                        while not outer._stopping:
+                            with outer._cond:
+                                outer._cond.wait_for(
+                                    lambda: outer._seq != last
+                                    or outer._stopping, timeout=1.0)
+                                fresh = outer._seq != last
+                                last = outer._seq
+                                body = outer._frame_json() if fresh else None
+                            if body is None:
+                                self.wfile.write(b": keepalive\n\n")
+                            else:
+                                self.wfile.write(b"data: " + body + b"\n\n")
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        pass
+                else:
+                    self.send_error(404)
+
             def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or "{}")
                 if self.path == "/tune" and outer.on_tune:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or "{}")
-                    frac = float(req.get("fraction", 0.5))
-                    freq = (frac - 0.5) * outer.sample_rate
-                    outer.on_tune(freq)
-                self.send_response(204)
-                self.end_headers()
+                    if "freq_hz" in req:
+                        freq = float(req["freq_hz"])
+                    else:   # legacy 0..1 fraction of the displayed span
+                        freq = ((float(req.get("fraction", 0.5)) - 0.5)
+                                * outer.sample_rate)
+                    applied = outer.on_tune(freq)
+                    if applied is None:
+                        applied = freq
+                    with outer._cond:
+                        outer.view["tune_hz"] = float(applied)
+                    self._send(json.dumps({"tune_hz": float(applied)}).encode(),
+                               "application/json")
+                elif self.path == "/filter" and outer.on_filter:
+                    lo = float(req.get("low_hz", outer.view["low_hz"]))
+                    hi = float(req.get("hi_hz", outer.view["hi_hz"]))
+                    applied = outer.on_filter(lo, hi)
+                    if applied is None:
+                        applied = (lo, hi)
+                    with outer._cond:
+                        outer.view["low_hz"] = float(applied[0])
+                        outer.view["hi_hz"] = float(applied[1])
+                    self._send(json.dumps(
+                        {"low_hz": float(applied[0]),
+                         "hi_hz": float(applied[1])}).encode(),
+                        "application/json")
+                else:
+                    self.send_response(204)
+                    self.end_headers()
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)
 
+    def _frame_json(self) -> bytes:
+        """Caller holds self._cond."""
+        return json.dumps({
+            "db": [round(float(v), 1) for v in self._db],
+            "sample_rate": self.sample_rate,
+            "min_db": self.min_db, "max_db": self.max_db,
+            "smeter_db": self._smeter,
+            **self.view,
+        }).encode()
+
     def start(self) -> "SpectrumServer":
         self._thread.start()
         return self
 
     def update(self, db: np.ndarray, smeter_db: float | None = None) -> None:
-        with self._lock:
+        with self._cond:
             self._db = np.asarray(db, np.float32)
             self._smeter = None if smeter_db is None else float(smeter_db)
+            self._seq += 1
+            self._cond.notify_all()
+
+    def set_view(self, **kw) -> None:
+        with self._cond:
+            self.view.update(kw)
+            self._seq += 1
+            self._cond.notify_all()
 
     def stop(self) -> None:
+        self._stopping = True
+        with self._cond:
+            self._cond.notify_all()
         self._server.shutdown()
         self._server.server_close()

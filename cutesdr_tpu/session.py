@@ -56,6 +56,8 @@ class ReceiverSession:
         self._nominal_ratio = (self.cfg.output_rate /
                                (self.cfg.audio_rate or self.cfg.output_rate))
         self._last_correction = 0.0
+        self.current_tune = self.cfg.tune_freq
+        self.current_low, self.current_hi = self.cfg.low_cut, self.cfg.hi_cut
         self.running = False
 
     def start(self) -> None:
@@ -110,6 +112,7 @@ class ReceiverSession:
     # ---------------------------------------------------------- controls --
     def tune(self, freq_hz: float) -> None:
         self.receiver.set_tune_freq(freq_hz)
+        self.current_tune = freq_hz
 
     def tune_clicked(self, freq_hz: float) -> float:
         """Click-to-tune with the mode's click resolution rounding
@@ -120,8 +123,21 @@ class ReceiverSession:
         self.tune(rounded)
         return rounded
 
-    def set_filter(self, low_cut: float, hi_cut: float) -> None:
-        self.receiver.set_filter(low_cut, hi_cut)
+    def set_filter(self, low_cut: float, hi_cut: float) -> tuple[float, float]:
+        """Set the channel-filter edges, clamped to the mode's limit table
+        and mirrored for symmetric modes (the GUI's enforcement in
+        gui/mainwindow.cpp:1000-1054 / plotter edge drag).  Returns the
+        edges actually applied."""
+        from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
+        hi_min, hi_max, low_min, low_max, sym = MODE_LIMITS[self.cfg.mode]
+        lo = float(min(max(low_cut, low_min), low_max))
+        hi = float(min(max(hi_cut, hi_min), hi_max))
+        if sym:
+            m = max(hi, -lo)
+            lo, hi = -m, m
+        self.receiver.set_filter(lo, hi)
+        self.current_low, self.current_hi = lo, hi
+        return lo, hi
 
     def set_volume(self, vol: int) -> None:
         self.settings.volume = vol

@@ -79,6 +79,86 @@ def test_spectrum_server_roundtrip():
         srv.stop()
 
 
+def test_spectrum_server_sse_push_and_filter_drag():
+    """Frames arrive over /events without polling; /filter round-trips the
+    session's clamped edges; /tune returns the applied (rounded) value."""
+    import http.client
+
+    srv = SpectrumServer(port=0, sample_rate=1e6,
+                         on_tune=lambda f: round(f / 100) * 100,
+                         on_filter=lambda lo, hi: (max(lo, -8000.0),
+                                                   min(hi, 8000.0))).start()
+    try:
+        srv.set_view(tune_hz=0.0, low_hz=-5000.0, hi_hz=5000.0)
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=5)
+        conn.request("GET", "/events")
+        resp = conn.getresponse()
+        assert resp.getheader("Content-Type") == "text/event-stream"
+
+        def read_event():
+            buf = b""
+            while not buf.endswith(b"\n\n"):
+                c = resp.read(1)
+                if not c:
+                    raise AssertionError("stream closed")
+                buf += c
+            return buf
+
+        # initial frame is pushed immediately on connect
+        first = read_event()
+        assert first.startswith(b"data: ")
+        d = json.loads(first[6:])
+        assert d["tune_hz"] == 0.0 and len(d["db"]) == 1024
+
+        # a publish triggers a push (no client request in between)
+        srv.update(np.full(512, -30.0), smeter_db=-21.0)
+        ev = read_event()
+        while not ev.startswith(b"data: "):     # skip keepalive comments
+            ev = read_event()
+        d = json.loads(ev[6:])
+        assert d["smeter_db"] == -21.0 and len(d["db"]) == 512
+
+        # filter drag POST: server reports the clamped edges back
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/filter",
+            data=json.dumps({"low_hz": -20000.0, "hi_hz": 3000.0}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            d = json.loads(r.read())
+        assert d == {"low_hz": -8000.0, "hi_hz": 3000.0}
+        assert srv.view["low_hz"] == -8000.0
+
+        # tune POST with absolute freq: rounded value comes back
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/tune",
+            data=json.dumps({"freq_hz": 12349.0}).encode(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            d = json.loads(r.read())
+        assert d == {"tune_hz": 12300.0}
+        assert srv.view["tune_hz"] == 12300.0
+        conn.close()
+    finally:
+        srv.stop()
+
+
+def test_session_set_filter_clamps_and_mirrors():
+    """Session-side edge enforcement: per-mode limits + symmetric mirror
+    (AM/FM are symmetric in the reference's table)."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.session import ReceiverSession
+
+    sess = ReceiverSession(ReceiverConfig(input_rate=500_000.0, mode="am"))
+    lo, hi = sess.set_filter(-3000.0, 7000.0)
+    assert (lo, hi) == (-7000.0, 7000.0)        # mirrored to the wider edge
+    lo, hi = sess.set_filter(-99000.0, 99000.0)
+    assert (lo, hi) == (-10000.0, 10000.0)      # clamped to the AM limits
+
+    sess2 = ReceiverSession(ReceiverConfig(input_rate=500_000.0, mode="usb"))
+    lo, hi = sess2.set_filter(-50.0, 30000.0)
+    assert (lo, hi) == (0.0, 20000.0)           # USB low in [0,200]
+    assert (sess2.current_low, sess2.current_hi) == (lo, hi)
+
+
 def test_stream_metrics():
     m = StreamMetrics()
     m.update_block(131072, 787, -42.0, -40.0)
