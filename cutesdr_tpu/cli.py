@@ -93,7 +93,14 @@ def _make_source(args, block_size):
     if spec.startswith("file:"):
         from cutesdr_tpu.io.filesource import FileSource
         parts = spec.split(":")
-        src = FileSource(parts[1], parts[2] if len(parts) > 2 else "int16")
+        if ".sigmf" in parts[1]:
+            from cutesdr_tpu.io.recorder import open_sigmf
+            src, meta = open_sigmf(parts[1])
+            print(f"sigmf capture: fs={meta['global']['core:sample_rate']} "
+                  f"f0={meta['captures'][0].get('core:frequency', 0)}",
+                  file=sys.stderr)
+        else:
+            src = FileSource(parts[1], parts[2] if len(parts) > 2 else "int16")
         return lambda: src.next_block(block_size)
     if spec.startswith("udp:"):
         from cutesdr_tpu.io.native_ingest import NativeIngest
@@ -172,36 +179,81 @@ def cmd_spectrum(args) -> int:
 
 
 def cmd_record(args) -> int:
-    """Record raw IQ from a source to a capture file + JSON sidecar."""
+    """Record raw IQ from a source to a capture file.
+
+    Default output is SigMF (<out>.sigmf-data + .sigmf-meta, interoperable
+    with other SDR tools); --legacy writes the bare file + .meta.json
+    sidecar.  --pre-trigger-ms N arms a ring recorder instead: the source
+    is monitored and the capture starts N ms *before* the first block whose
+    peak magnitude exceeds --trigger-level (testbench trigger semantics,
+    gui/testbench.cpp:819-898, applied to the raw stream)."""
     import datetime
 
     from cutesdr_tpu.io.filesource import RawIQWriter
+    from cutesdr_tpu.io.recorder import RingRecorder, SigMFWriter
 
     args.mode = getattr(args, "mode", "usb")
     block = 65536
     source = _make_source(args, block)
-    w = RawIQWriter(args.out, args.fmt)
-    n_total = 0
     target = int(args.seconds * args.fs)
-    while n_total < target:
-        iq = source()
-        if iq is None:
-            break
-        w.write(iq)
-        n_total += len(iq)
-    w.close()
-    meta = {
-        "format": args.fmt,
-        "sample_rate": args.fs,
-        "center_frequency": args.freq,
-        "samples": n_total,
-        "datetime": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        "source": args.source,
-    }
-    with open(args.out + ".meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
-    print(f"recorded {n_total} samples -> {args.out} (+.meta.json)",
-          file=sys.stderr)
+
+    def make_writer():
+        if args.legacy:
+            return RawIQWriter(args.out, args.fmt)
+        return SigMFWriter(args.out, "cf32" if args.fmt == "npy" else args.fmt,
+                           sample_rate=args.fs, center_freq=args.freq,
+                           description=f"cutesdr-tpu record --source={args.source}")
+
+    n_total = 0
+    if args.pre_trigger_ms > 0:
+        pre = int(args.pre_trigger_ms * 1e-3 * args.fs)
+        ring = RingRecorder(pre)
+        armed = True
+        # monitor until the source ends or the post-trigger capture is done
+        while armed or ring.recording:
+            iq = source()
+            if iq is None:
+                break
+            if armed and np.max(np.abs(iq)) >= args.trigger_level:
+                ring.push(iq)  # history includes the triggering block
+                n_total = ring.trigger(make_writer(), post=target)
+                armed = False
+                print(f"triggered at sample {ring.trigger_index} "
+                      f"({n_total} pre-trigger samples)", file=sys.stderr)
+                continue
+            ring.push(iq)
+        ring.close()
+        if armed:
+            print("no trigger seen; nothing recorded", file=sys.stderr)
+            return 1
+        n_total += target
+    else:
+        w = make_writer()
+        while n_total < target:
+            iq = source()
+            if iq is None:
+                break
+            w.write(iq)
+            n_total += len(iq)
+        w.close()
+
+    if args.legacy:
+        meta = {
+            "format": args.fmt,
+            "sample_rate": args.fs,
+            "center_frequency": args.freq,
+            "samples": n_total,
+            "datetime": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(),
+            "source": args.source,
+        }
+        with open(args.out + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        print(f"recorded {n_total} samples -> {args.out} (+.meta.json)",
+              file=sys.stderr)
+    else:
+        print(f"recorded {n_total} samples -> {args.out}.sigmf-data "
+              f"(+.sigmf-meta)", file=sys.stderr)
     return 0
 
 
@@ -296,8 +348,15 @@ def main(argv=None) -> int:
 
     p_rec = sub.add_parser("record", help="record raw IQ to a capture file")
     _add_receiver_args(p_rec)
-    p_rec.add_argument("--out", default="capture.iq")
-    p_rec.add_argument("--fmt", default="int16", choices=["int16", "npy"])
+    p_rec.add_argument("--out", default="capture")
+    p_rec.add_argument("--fmt", default="int16",
+                       choices=["int16", "cf32", "npy"])
+    p_rec.add_argument("--legacy", action="store_true",
+                       help="bare file + .meta.json instead of SigMF")
+    p_rec.add_argument("--pre-trigger-ms", type=float, default=0.0,
+                       help="arm a ring recorder with this much history")
+    p_rec.add_argument("--trigger-level", type=float, default=1000.0,
+                       help="|IQ| level that fires the ring trigger")
     p_rec.set_defaults(fn=cmd_record)
 
     p_srv = sub.add_parser("serve", help="browser spectrum/waterfall UI")
