@@ -276,6 +276,10 @@ def cmd_serve(args) -> int:
     sess.on_spectrum = lambda db: srv.update(
         db, smeter_db=sess.metrics.smeter_ave_db)
     source = _make_source(args, cfg.block_size)
+    speaker = None
+    if args.audio:
+        from cutesdr_tpu.io.audio_device import SoundCardSink
+        speaker = SoundCardSink(sess.audio_queue, 48000).start()
     sess.start()
     print(f"serving http://127.0.0.1:{srv.port}/  (Ctrl-C to stop)",
           file=sys.stderr)
@@ -287,11 +291,13 @@ def cmd_serve(args) -> int:
                 break
             sess.pump(iq)
             # pace roughly to real time for generator sources
-            if args.realtime:
+            if args.realtime or speaker is not None:
                 _time.sleep(cfg.block_size / args.fs)
     except KeyboardInterrupt:
         pass
     finally:
+        if speaker is not None:
+            speaker.stop()
         srv.stop()
     print(sess.status_line(), file=sys.stderr)
     return 0
@@ -364,6 +370,10 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8765)
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")
+    p_srv.add_argument("--audio", action="store_true",
+                       help="play audio to the sound card (needs the "
+                            "optional 'sounddevice' package; implies "
+                            "--realtime)")
     p_srv.set_defaults(fn=cmd_serve)
 
     p_lat = sub.add_parser("latency", help="latency budget for a config")
