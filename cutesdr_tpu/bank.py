@@ -1,0 +1,131 @@
+"""Channel-bank session: N demodulators over one wideband stream, with a
+shared display path and a monitor channel feeding the audio queue.
+
+Reference analogue: none — CuteSDR runs exactly one demod chain
+(dsp/demodulator.cpp); the bank is the TPU-native capability it unlocks
+(BASELINE config 4: 64 channels from one stream).  The session mirrors
+ReceiverSession's contract (``pump`` / controls / metrics) so the CLI and
+the web UI drive either interchangeably.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from cutesdr_tpu.io.audio_sink import RateLockedQueue
+from cutesdr_tpu.metrics import StreamMetrics
+from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
+from cutesdr_tpu.settings import SessionSettings
+from cutesdr_tpu.shard.channels import ChannelBank
+
+
+@dataclass
+class BankSession:
+    """Pull-based session over a ChannelBank.
+
+    One wideband IQ stream in; per-channel S-meters out every block; the
+    *monitor* channel's audio goes to the rate-locked queue (listening to
+    all N at once is not a thing — the reference's operator listens to one
+    channel; the bank demodulates all of them for metering/recording).
+    """
+    cfg: ReceiverConfig
+    tune_freqs: Sequence[float]
+    spectrum_cfg: Optional[SpectrumConfig] = None
+    settings: SessionSettings = field(default_factory=SessionSettings)
+    on_spectrum: Optional[Callable[[np.ndarray], None]] = None
+    monitor: int = 0
+
+    def __post_init__(self):
+        self.tune_freqs = list(self.tune_freqs)
+        self.bank = ChannelBank(self.cfg, self.tune_freqs)
+        if self.spectrum_cfg is None:
+            self.spectrum_cfg = SpectrumConfig(
+                fft_size=self.settings.display.fft_size,
+                ave_size=self.settings.display.fft_ave,
+                sample_rate=self.cfg.input_rate)
+        self.analyzer = SpectrumAnalyzer(
+            self.spectrum_cfg,
+            max_display_rate=self.settings.display.max_display_rate)
+        self.audio_queue = RateLockedQueue(stereo=self.cfg.stereo)
+        self.metrics = StreamMetrics()
+        self.smeter_db = np.full(len(self.tune_freqs), -160.0, np.float32)
+        self.smeter_peak_db = np.full(len(self.tune_freqs), -160.0, np.float32)
+        self._pending = np.zeros(0, np.complex64)
+        self.running = False
+
+    # ------------------------------------------------------------- data ---
+    def start(self) -> None:
+        self.running = True
+        self.metrics = StreamMetrics()
+
+    def stop(self) -> None:
+        self.running = False
+
+    def pump(self, iq: np.ndarray) -> int:
+        """Feed raw wideband IQ; returns number of bank steps run."""
+        if not self.running:
+            return 0
+        buf = np.concatenate([self._pending, np.asarray(iq, np.complex64)])
+        bs = self.cfg.block_size
+        blocks = 0
+        while len(buf) >= bs:
+            chunk, buf = buf[:bs], buf[bs:]
+            if self.analyzer.feed(chunk) and self.on_spectrum:
+                self.on_spectrum(self.analyzer.spectrum_db())
+            self.metrics.overload = self.analyzer.overload
+
+            out = self.bank.process(chunk)
+            self.smeter_db = np.asarray(out.smeter_ave_db)
+            self.smeter_peak_db = np.asarray(out.smeter_peak_db)
+            m = self.monitor
+            n_aud = int(np.asarray(out.n_audio)[m])
+            audio = np.asarray(out.audio)[m, :n_aud]
+            self.audio_queue.put_block(
+                np.clip(audio, -32767, 32767).astype(np.int16)
+                if not np.iscomplexobj(audio) else
+                np.stack([np.clip(audio.real, -32767, 32767),
+                          np.clip(audio.imag, -32767, 32767)],
+                         axis=-1).astype(np.int16))
+            self.metrics.update_block(bs, n_aud,
+                                      float(self.smeter_db[m]),
+                                      float(self.smeter_peak_db[m]))
+            blocks += 1
+        self._pending = buf
+        return blocks
+
+    # ---------------------------------------------------------- controls --
+    @property
+    def n_channels(self) -> int:
+        return len(self.tune_freqs)
+
+    def select(self, channel: int) -> int:
+        """Make `channel` the monitor (audio) channel."""
+        self.monitor = int(channel) % self.n_channels
+        return self.monitor
+
+    def tune_channel(self, channel: int, freq_hz: float) -> float:
+        self.tune_freqs[channel] = float(freq_hz)
+        self.bank.set_tune_freqs(self.tune_freqs)
+        return float(freq_hz)
+
+    def tune_clicked(self, freq_hz: float) -> float:
+        """Click-to-tune applies to the monitor channel, with the mode's
+        click-resolution rounding (gui/plotter.cpp roundFreq)."""
+        res = max(1, int(self.settings.demod[self.cfg.mode]
+                         .filter_click_resolution))
+        rounded = round(freq_hz / res) * res
+        return self.tune_channel(self.monitor, rounded)
+
+    def channel_info(self) -> list[dict]:
+        return [{"id": i, "tune_hz": float(f),
+                 "smeter_db": round(float(self.smeter_db[i]), 1),
+                 "monitor": i == self.monitor}
+                for i, f in enumerate(self.tune_freqs)]
+
+    def status_line(self) -> str:
+        return (f"{self.n_channels} ch | monitor {self.monitor} | "
+                + self.metrics.status_line())

@@ -267,14 +267,33 @@ def cmd_serve(args) -> int:
     from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
 
     cfg = _cfg_from_args(args)
-    sess = ReceiverSession(cfg)
-    srv = SpectrumServer(port=args.port, sample_rate=args.fs,
-                         on_tune=sess.tune_clicked,
-                         on_filter=sess.set_filter).start()
-    srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
-                 hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
-    sess.on_spectrum = lambda db: srv.update(
-        db, smeter_db=sess.metrics.smeter_ave_db)
+    if args.channels:
+        from cutesdr_tpu.bank import BankSession
+        freqs = [float(x) for x in args.channels.split(",")]
+        sess = BankSession(cfg, freqs)
+
+        def on_select(i):
+            m = sess.select(i)
+            srv.set_view(tune_hz=sess.tune_freqs[m])
+            return m
+
+        srv = SpectrumServer(port=args.port, sample_rate=args.fs,
+                             on_tune=sess.tune_clicked,
+                             on_select=on_select).start()
+        srv.set_view(tune_hz=freqs[0], low_hz=cfg.low_cut,
+                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
+        sess.on_spectrum = lambda db: srv.update(
+            db, smeter_db=float(sess.smeter_db[sess.monitor]),
+            channels=sess.channel_info())
+    else:
+        sess = ReceiverSession(cfg)
+        srv = SpectrumServer(port=args.port, sample_rate=args.fs,
+                             on_tune=sess.tune_clicked,
+                             on_filter=sess.set_filter).start()
+        srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
+                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
+        sess.on_spectrum = lambda db: srv.update(
+            db, smeter_db=sess.metrics.smeter_ave_db)
     source = _make_source(args, cfg.block_size)
     speaker = None
     if args.audio:
@@ -370,6 +389,10 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8765)
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")
+    p_srv.add_argument("--channels", default="",
+                       help="comma-separated tune freqs -> channel-bank "
+                            "mode (N demodulators, per-channel S-meters, "
+                            "select the monitor channel from the table)")
     p_srv.add_argument("--audio", action="store_true",
                        help="play audio to the sound card (needs the "
                             "optional 'sounddevice' package; implies "

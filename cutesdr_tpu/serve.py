@@ -27,6 +27,7 @@ canvas{display:block;margin-top:4px;image-rendering:pixelated}
 <div id="bar">cutesdr-tpu — <span id="status">connecting…</span></div>
 <canvas id="spec" width="1024" height="200"></canvas>
 <canvas id="wf" width="1024" height="300"></canvas>
+<table id="chlist" style="border-collapse:collapse;margin-top:6px"></table>
 <script>
 const spec = document.getElementById('spec'), wf = document.getElementById('wf');
 const sctx = spec.getContext('2d'), wctx = wf.getContext('2d');
@@ -66,6 +67,25 @@ function drawFrame(d){
     if(x===0)sctx.moveTo(x,y);else sctx.lineTo(x,y);
   }
   sctx.stroke();
+  // channel-bank markers + table
+  if (d.channels && d.channels.length) {
+    for (const c of d.channels) {
+      const x = fx(c.tune_hz);
+      sctx.strokeStyle = c.monitor ? '#fc0' : 'rgba(255,200,0,0.4)';
+      sctx.beginPath(); sctx.moveTo(x,0); sctx.lineTo(x,12); sctx.stroke();
+      sctx.fillStyle = sctx.strokeStyle;
+      sctx.fillText(String(c.id), x+2, 10);
+    }
+    const tbl = document.getElementById('chlist');
+    tbl.innerHTML = '<tr><th>ch</th><th>freq kHz</th><th>S dB</th></tr>' +
+      d.channels.map(c =>
+        `<tr data-ch="${c.id}" style="cursor:pointer;${c.monitor?
+          'color:#fc0':''}"><td>${c.id}${c.monitor?' ♪':''}</td>`+
+        `<td>${(c.tune_hz/1e3).toFixed(3)}</td>`+
+        `<td>${c.smeter_db.toFixed(1)}</td></tr>`).join('');
+    for (const row of tbl.querySelectorAll('tr[data-ch]'))
+      row.onclick = () => post('/select', {channel:+row.dataset.ch});
+  }
   const img = wctx.getImageData(0,0,wf.width,wf.height-1);
   wctx.putImageData(img,0,1);
   const row = wctx.createImageData(wf.width,1);
@@ -137,9 +157,12 @@ class SpectrumServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  sample_rate: float = 2e6, min_db: float = -120.0,
-                 max_db: float = 0.0, on_tune=None, on_filter=None):
+                 max_db: float = 0.0, on_tune=None, on_filter=None,
+                 on_select=None):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
+        self._channels: list[dict] = []
+        self.on_select = on_select
         self._cond = threading.Condition()
         self._seq = 0
         self._stopping = False
@@ -210,6 +233,11 @@ class SpectrumServer:
                         outer.view["tune_hz"] = float(applied)
                     self._send(json.dumps({"tune_hz": float(applied)}).encode(),
                                "application/json")
+                elif self.path == "/select" and outer.on_select:
+                    applied = outer.on_select(int(req.get("channel", 0)))
+                    self._send(json.dumps(
+                        {"selected": int(applied)}).encode(),
+                        "application/json")
                 elif self.path == "/filter" and outer.on_filter:
                     lo = float(req.get("low_hz", outer.view["low_hz"]))
                     hi = float(req.get("hi_hz", outer.view["hi_hz"]))
@@ -234,22 +262,28 @@ class SpectrumServer:
 
     def _frame_json(self) -> bytes:
         """Caller holds self._cond."""
-        return json.dumps({
+        frame = {
             "db": [round(float(v), 1) for v in self._db],
             "sample_rate": self.sample_rate,
             "min_db": self.min_db, "max_db": self.max_db,
             "smeter_db": self._smeter,
             **self.view,
-        }).encode()
+        }
+        if self._channels:
+            frame["channels"] = self._channels
+        return json.dumps(frame).encode()
 
     def start(self) -> "SpectrumServer":
         self._thread.start()
         return self
 
-    def update(self, db: np.ndarray, smeter_db: float | None = None) -> None:
+    def update(self, db: np.ndarray, smeter_db: float | None = None,
+               channels: list[dict] | None = None) -> None:
         with self._cond:
             self._db = np.asarray(db, np.float32)
             self._smeter = None if smeter_db is None else float(smeter_db)
+            if channels is not None:
+                self._channels = channels
             self._seq += 1
             self._cond.notify_all()
 
