@@ -7,8 +7,30 @@ exponentially-averaged noise power above the voice band through an HP FIR,
 gates with ±100 hysteresis against a 0..5000 threshold, and either zeroes
 the block or lowpasses it with a 3 kHz IIR.
 
-The PLL (+DC tracker) is a lax.scan; the squelch measurement is fully
-parallel (FIR + parallel EMA) with a tiny per-block state machine.
+The PLL (+DC tracker) runs in one of two forms, chosen per block on-device:
+
+* **Linear (parallel) form** — the default path while locked.  Writing the
+  state as x = [e, f] (phase error, NCO frequency) and psi[n] =
+  wrap(theta[n] - theta[n-1]) (the wrapped input phase increments), the
+  sequential recurrence is *exactly*
+
+      x[n+1] = A x[n] + [-psi[n+1], 0],   A = [[1-a-b, -1], [b, 1]]
+
+  whenever the phase-detector wrap and the frequency clamp are inactive
+  (proved by induction: err[n+1] = -wrap(theta[n+1]+phase[n+1]) equals the
+  linear e[n+1] while |e| <= pi).  A is constant with spectral radius
+  sqrt(1-a) << 1, so the whole block is a short causal FIR of psi with the
+  truncated impulse response A^d — a convolution (MXU/VPU-parallel), not a
+  scan.  Validity (max |e| < pi, max |f| <= clamp) is checked from the
+  linear solution itself; a violating block falls back to
+* **the sequential scan** (lax.cond, so only one branch executes per
+  block) — bit-faithful to the reference recurrence during acquisition,
+  clamp hits, or squelch-grade noise.
+
+The squelch measurement is fully parallel (FIR + parallel EMA) with a tiny
+per-block state machine.  Note: under vmap (channel banks) lax.cond lowers
+to select and both branches execute — the bank pays the scan anyway and the
+linear path is then only a (small) constant overhead.
 """
 
 from __future__ import annotations
@@ -22,6 +44,7 @@ from jax import lax
 from cutesdr_tpu.design.fir_kaiser import design_highpass
 from cutesdr_tpu.design.iir_biquad import biquad_lowpass
 from cutesdr_tpu.ops import fir, iir
+from cutesdr_tpu.ops import pll
 from cutesdr_tpu.ops.util import ema
 from cutesdr_tpu.types import K_2PI
 
@@ -44,6 +67,8 @@ class FmParams(NamedTuple):
     dc_alpha: jax.Array
     squelch_alpha: jax.Array
     squelch_threshold: jax.Array
+    pll_kernel: jax.Array         # [D,2,2] powers A^d of the locked-loop
+                                  # state matrix (truncated impulse response)
     hp_fir: fir.FirParams         # noise HP above the voice band
     lp_iir: iir.IirParams         # 3 kHz audio lowpass when squelch open
 
@@ -71,6 +96,7 @@ def init(sample_rate: float, squelch_ui_value: int = 0,
     alpha = 2.0 * FMPLL_ZETA * FMPLL_BW * norm
     beta = (alpha * alpha) / (4.0 * FMPLL_ZETA * FMPLL_ZETA)
     limit = FMPLL_RANGE * norm
+    kernel = pll.locked_loop_kernel(float(alpha), float(beta))
     hp = design_highpass(1.0, 50.0, fm_bw, fm_bw * 0.6, sample_rate)
     fp, fc = fir.init(hp, rdtype=rdtype)
     ip, ic = iir.init(biquad_lowpass(VOICE_BANDWIDTH, 1.0, sample_rate),
@@ -82,7 +108,7 @@ def init(sample_rate: float, squelch_ui_value: int = 0,
         dc_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * FMDC_ALPHA))),
         squelch_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * SQUELCHAVE_TIMECONST))),
         squelch_threshold=r(squelch_threshold_from_ui(squelch_ui_value)),
-        hp_fir=fp, lp_iir=ip)
+        pll_kernel=r(kernel), hp_fir=fp, lp_iir=ip)
     carry = FmCarry(
         nco_phase=r(0.0), nco_freq=r(0.0), freq_error_dc=r(0.0),
         squelch_ave=r(0.0), squelch_on=jnp.asarray(True),
@@ -110,15 +136,13 @@ def _wrap_pi(e):
     return e - K_2PI * jnp.round(e / K_2PI)
 
 
-def _pll_scan(params: FmParams, carry: FmCarry, x: jax.Array):
+def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
     # The phase detector atan2(x·e^{jφ}) equals wrap(arg(x) + φ), so the
     # per-sample arg(x) vectorizes over the whole block on the VPU and the
     # serial recurrence is pure arithmetic — ~4× faster than rotating and
     # atan2-ing inside the scan, and numerically equivalent (φ is even
     # wrapped every step instead of once per block as in the reference,
     # dsp/fmdemod.cpp:189).
-    theta = jnp.arctan2(x.imag, x.real)
-
     def step(c, th):
         phase, freq, dc = c
         err = -_wrap_pi(th + phase)
@@ -131,6 +155,32 @@ def _pll_scan(params: FmParams, carry: FmCarry, x: jax.Array):
     (phase, freq, dc), audio = lax.scan(
         step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), theta)
     return jnp.mod(phase, K_2PI), freq, dc, audio
+
+
+def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
+    """Parallel solve of the locked (wrap/clip-free) loop — see module
+    docstring for the derivation — plus the validity flag telling whether
+    the linearization was exact for this block."""
+    e0 = -_wrap_pi(theta[0] + carry.nco_phase)
+    psi = _wrap_pi(theta[1:] - theta[:-1])
+    u = jnp.concatenate([jnp.zeros((1,), theta.dtype), -psi])
+    e, f_next, valid = pll.solve_locked(params.pll_kernel, params.pll_beta,
+                                        params.nco_limit, e0,
+                                        carry.nco_freq, u)
+    dcs = ema(params.dc_alpha, f_next, carry.freq_error_dc)
+    audio = (f_next - dcs) * params.out_gain
+    phase = jnp.mod(-theta[-1] - e[-1] + f_next[-1] + params.pll_alpha * e[-1],
+                    K_2PI)
+    return valid, (phase, f_next[-1], dcs[-1], audio)
+
+
+def _pll(params: FmParams, carry: FmCarry, x: jax.Array):
+    theta = jnp.arctan2(x.imag, x.real)
+    valid, linear = _pll_linear(params, carry, theta)
+    return lax.cond(valid,
+                    lambda _: linear,
+                    lambda _: _pll_scan(params, carry, theta),
+                    None)
 
 
 def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
@@ -155,7 +205,7 @@ def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
 
 def process(params: FmParams, carry: FmCarry,
             x: jax.Array) -> tuple[FmCarry, jax.Array]:
-    phase, freq, dc, audio = _pll_scan(params, carry, x)
+    phase, freq, dc, audio = _pll(params, carry, x)
     fc, ic, ave, squelched, y = _noise_squelch(params, carry, audio)
     return FmCarry(nco_phase=phase, nco_freq=freq, freq_error_dc=dc,
                    squelch_ave=ave, squelch_on=squelched,

@@ -1,0 +1,75 @@
+"""Parallel solve of second-order type-II PLL loops while locked.
+
+Shared by the FM and SAM demodulators (dsp/fmdemod.cpp:62-89,
+dsp/samdemod.cpp:78-110 in the reference, both per-sample serial loops).
+
+Both loops have the per-sample recurrence
+
+    err   = ±wrap(theta ∓ phase)
+    freq += beta * err           (clamped to ±limit)
+    phase += freq + alpha * err  (wrapped)
+
+With the state written as x = [e, f] (phase-detector error, NCO frequency)
+and psi[n] = wrap(theta[n] - theta[n-1]) the wrapped input phase increments,
+the recurrence is *exactly linear* whenever the wrap and the clamp are
+inactive (the locked condition):
+
+    x[n+1] = A x[n] + [s·psi[n+1], 0],   A = [[1-a-b, -1], [b, 1]]
+
+(s = +1 when e = theta - phase, -1 when e = -(theta + phase); proof by
+induction — err[n+1] = wrap-of a quantity that equals the linear e[n+1]
+while |e| <= pi).  A is constant with spectral radius sqrt(1-a) < 1, so the
+block solution is a causal FIR of psi with the truncated impulse response
+A^d — a convolution (fully parallel on the VPU/MXU) instead of a scan.
+Validity (max |e| < pi, max |f| <= clamp) is read off the linear solution
+itself; the caller falls back to the exact sequential scan for blocks where
+the linearization was not exact (acquisition, clamp hits, noise spikes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+WRAP_MARGIN = 0.98          # |e| < WRAP_MARGIN*pi counts as wrap-free
+
+
+def locked_loop_kernel(alpha: float, beta: float, tol: float = 1e-12,
+                       max_taps: int = 4096) -> np.ndarray:
+    """Powers A^d (d = 0..D-1) of the locked-loop state matrix, truncated
+    where the spectral decay reaches ``tol``.  float64 host-side constant."""
+    A = np.array([[1.0 - alpha - beta, -1.0], [beta, 1.0]], np.float64)
+    rho = float(np.max(np.abs(np.linalg.eigvals(A))))
+    if rho >= 0.9999:        # loop at/over the stability edge: no truncation
+        d = max_taps
+    else:
+        d = int(np.ceil(np.log(tol) / np.log(rho))) + 2
+        d = min(max(d, 8), max_taps)
+    K = np.empty((d, 2, 2), np.float64)
+    K[0] = np.eye(2)
+    for i in range(1, d):
+        K[i] = A @ K[i - 1]
+    return K
+
+
+def solve_locked(kernel: jax.Array, beta: jax.Array, limit: jax.Array,
+                 e0: jax.Array, f0: jax.Array, u: jax.Array):
+    """Solve e[n], f[n] for x[n+1] = A x[n] + [u[n+1], 0], x[0] = [e0, f0].
+
+    ``u`` has u[0] == 0 by construction (the first sample's error is e0).
+    Returns (e, f_next, valid): the error sequence, the post-update
+    frequency sequence f[n+1] = f[n] + beta*e[n], and the exactness flag.
+    """
+    n = u.shape[-1]
+    e = jnp.convolve(u, kernel[:, 0, 0])[:n]
+    f = jnp.convolve(u, kernel[:, 1, 0])[:n]
+    d = min(kernel.shape[0], n)
+    e = e.at[:d].add(kernel[:d, 0, 0] * e0 + kernel[:d, 0, 1] * f0)
+    f = f.at[:d].add(kernel[:d, 1, 0] * e0 + kernel[:d, 1, 1] * f0)
+    f_next = f + beta * e
+    valid = ((jnp.max(jnp.abs(e))
+              < jnp.asarray(WRAP_MARGIN * jnp.pi, u.dtype))
+             & (jnp.max(jnp.abs(f_next)) <= limit))
+    return e, f_next, valid

@@ -151,12 +151,64 @@ def test_fm_pll_matches_oracle():
     x = (8000.0 * np.exp(1j * ((2000.0 / 700.0) * np.sin(2 * np.pi * 700.0 * t)
                                + 2 * np.pi * 500.0 * t))).astype(complex)
     p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
-    _, _, _, audio = fm._pll_scan(p, c, jnp.asarray(x, C128))
+    xj = jnp.asarray(x, C128)
+    theta = jnp.arctan2(xj.imag, xj.real)
+    _, _, _, audio = fm._pll_scan(p, c, theta)
     want = oracles.FmPllOracle(fs)(x)
     got = np.asarray(audio)
     # after lock-in, trajectories coincide
     scale = np.abs(want[2000:]).max()
     np.testing.assert_allclose(got[2000:], want[2000:], atol=1e-6 * scale)
+
+
+def test_fm_pll_linear_matches_scan_when_locked():
+    """The parallel (convolution) form of the locked loop must reproduce
+    the sequential scan sample-for-sample, and must report validity."""
+    fs = 62500.0
+    n = 8192
+    t = np.arange(n) / fs
+    x = (8000.0 * np.exp(1j * ((2000.0 / 700.0) * np.sin(2 * np.pi * 700.0 * t)
+                               + 2 * np.pi * 500.0 * t))).astype(complex)
+    p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    xj = jnp.asarray(x, C128)
+    theta = jnp.arctan2(xj.imag, xj.real)
+    # run a first block sequentially to lock, then compare forms on block 2
+    phase, freq, dc, _ = fm._pll_scan(p, c, theta[:4096])
+    c2 = c._replace(nco_phase=phase, nco_freq=freq, freq_error_dc=dc)
+    valid, (lp, lf, ldc, laud) = fm._pll_linear(p, c2, theta[4096:])
+    sp, sf, sdc, saud = fm._pll_scan(p, c2, theta[4096:])
+    assert bool(valid)
+    scale = float(np.abs(np.asarray(saud)).max())
+    np.testing.assert_allclose(np.asarray(laud), np.asarray(saud),
+                               atol=1e-9 * scale)
+    np.testing.assert_allclose(float(lf), float(sf), atol=1e-12)
+    np.testing.assert_allclose(float(ldc), float(sdc), atol=1e-12)
+    # phase carry agrees mod 2pi
+    dphi = (float(lp) - float(sp)) % (2 * np.pi)
+    assert min(dphi, 2 * np.pi - dphi) < 1e-9
+
+
+def test_fm_pll_linear_flags_unlocked_block():
+    """A carrier far outside the pull-in behavior (large phase steps) must
+    be flagged invalid so process() falls back to the exact scan."""
+    fs = 62500.0
+    n = 2048
+    t = np.arange(n) / fs
+    # 20 kHz offset: phase step 2*pi*20000/62500 ~ 2.0 rad >> loop range
+    x = 8000.0 * np.exp(1j * 2 * np.pi * 20000.0 * t)
+    p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    xj = jnp.asarray(x, C128)
+    theta = jnp.arctan2(xj.imag, xj.real)
+    valid, _ = fm._pll_linear(p, c, theta)
+    assert not bool(valid)
+    # and the public path still matches the oracle through the fallback
+    import oracles
+    _, audio = fm.process(p, c, xj)
+    want = oracles.FmPllOracle(fs)(x)
+    # squelch will likely mute; compare the raw PLL instead
+    _, _, _, raw = fm._pll(p, c, xj)
+    np.testing.assert_allclose(np.asarray(raw), want,
+                               atol=1e-6 * max(1.0, np.abs(want).max()))
 
 
 def test_sam_pll_matches_oracle():
