@@ -6,8 +6,12 @@ alpha/beta loop update, one-pole DC removal; the stereo path additionally
 runs the DC-removed I/Q through a 0-10 kHz Hilbert bandpass pair and emits
 USB→right / LSB→left via I∓Q.
 
-The PLL is the one truly serial op in the chain — a lax.scan at the
-decimated audio rate (≤48 kSPS), negligible next to the front-end convs.
+Like the FM demodulator, the PLL runs the parallel locked-loop solve
+(ops/pll.py: the recurrence is exactly linear while the phase-detector wrap
+and the NCO clamp are inactive, so the block is a short convolution instead
+of a scan) with a per-block exactness check and a lax.cond fallback to the
+sequential scan during acquisition.  The baseband rotation x·e^{-jφ} is
+vectorized either way from the recovered phase sequence.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from jax import lax
 
 from cutesdr_tpu.design.fir_kaiser import design_lowpass, hilbert_bandpass
 from cutesdr_tpu.ops import fir
+from cutesdr_tpu.ops import pll
 from cutesdr_tpu.ops.util import first_order_recurrence
 from cutesdr_tpu.types import K_2PI
 
@@ -33,6 +38,7 @@ class SamParams(NamedTuple):
     pll_alpha: jax.Array
     pll_beta: jax.Array
     nco_limit: jax.Array          # ± rad/sample clamp
+    pll_kernel: jax.Array         # [D,2,2] locked-loop impulse response
     hilbert: fir.FirParams        # 0..10 kHz Hilbert bandpass pair (stereo)
 
 
@@ -52,8 +58,10 @@ def init(sample_rate: float, rdtype=jnp.float32) -> tuple[SamParams, SamCarry]:
     hi, hq = hilbert_bandpass(lp, 5000.0, sample_rate)
     fp, fc = fir.init(hi, hq, complex_input=True, rdtype=rdtype)
     r = lambda v: jnp.asarray(v, rdtype)
+    kernel = pll.locked_loop_kernel(float(alpha), float(beta))
     return (SamParams(pll_alpha=r(alpha), pll_beta=r(beta),
-                      nco_limit=r(PLL_LIMIT * norm), hilbert=fp),
+                      nco_limit=r(PLL_LIMIT * norm),
+                      pll_kernel=r(kernel), hilbert=fp),
             SamCarry(nco_phase=r(0.0), nco_freq=r(0.0),
                      z1=r(0.0), y1=r(0.0), hilbert=fc))
 
@@ -63,16 +71,14 @@ def _wrap_pi(e):
     return e - K_2PI * jnp.round(e / K_2PI)
 
 
-def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
-    """Track the carrier; returns (phase', freq', baseband I/Q sequence).
+def _pll_scan(params: SamParams, carry: SamCarry, theta: jax.Array):
+    """Sequential loop; returns (phase', freq', pre-update phase sequence).
 
     The phase detector atan2(x·e^{-jφ}) equals wrap(arg(x) − φ): arg(x) is
     vectorized over the block, the serial recurrence carries only cheap
     arithmetic, and the baseband rotation x·e^{-jφ} is applied vectorized
     afterwards from the emitted phase sequence.
     """
-    theta = jnp.arctan2(x.imag, x.real)
-
     def step(c, th):
         phase, freq = c
         err = _wrap_pi(th - phase)
@@ -88,8 +94,34 @@ def _pll_scan(params: SamParams, carry: SamCarry, x: jax.Array):
     # tracked baseband either way (lock behavior identical); rotate with the
     # pre-update sequence for exact parity:
     prev = jnp.concatenate([carry.nco_phase[None], phases[:-1]], axis=-1)
+    return jnp.mod(phase, K_2PI), freq, prev
+
+
+def _pll_linear(params: SamParams, carry: SamCarry, theta: jax.Array):
+    """Parallel locked-loop solve (ops/pll.py); pre-update phases come back
+    as theta - e (equal to the scan's mod 2π, which the rotation absorbs)."""
+    e0 = _wrap_pi(theta[0] - carry.nco_phase)
+    psi = _wrap_pi(theta[1:] - theta[:-1])
+    u = jnp.concatenate([jnp.zeros((1,), theta.dtype), psi])
+    e, f_next, valid = pll.solve_locked(params.pll_kernel, params.pll_beta,
+                                        params.nco_limit, e0,
+                                        carry.nco_freq, u)
+    prev = theta - e
+    phase = jnp.mod(theta[-1] - e[-1] + f_next[-1] + params.pll_alpha * e[-1],
+                    K_2PI)
+    return valid, (phase, f_next[-1], prev)
+
+
+def _pll(params: SamParams, carry: SamCarry, x: jax.Array):
+    """Hybrid PLL; returns (phase', freq', baseband I/Q sequence)."""
+    theta = jnp.arctan2(x.imag, x.real)
+    valid, linear = _pll_linear(params, carry, theta)
+    phase, freq, prev = lax.cond(valid,
+                                 lambda _: linear,
+                                 lambda _: _pll_scan(params, carry, theta),
+                                 None)
     base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
-    return jnp.mod(phase, K_2PI), freq, base
+    return phase, freq, base
 
 
 def _dc_block(state, u):
@@ -100,14 +132,14 @@ def _dc_block(state, u):
 
 def process(params: SamParams, carry: SamCarry,
             x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll_scan(params, carry, x)
+    phase, freq, base = _pll(params, carry, x)
     z1, y = _dc_block(carry.z1, base.real)
     return carry._replace(nco_phase=phase, nco_freq=freq, z1=z1), y
 
 
 def process_stereo(params: SamParams, carry: SamCarry,
                    x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll_scan(params, carry, x)
+    phase, freq, base = _pll(params, carry, x)
     z1, yi = _dc_block(carry.z1, base.real)
     y1, yq = _dc_block(carry.y1, base.imag)
     fc, f = fir.process_complex(params.hilbert, carry.hilbert,

@@ -211,6 +211,30 @@ def test_fm_pll_linear_flags_unlocked_block():
                                atol=1e-6 * max(1.0, np.abs(want).max()))
 
 
+def test_sam_pll_linear_matches_scan_when_locked():
+    fs = 15625.0
+    n = 8192
+    t = np.arange(n) / fs
+    env = 6000.0 * (1.0 + 0.4 * np.cos(2 * np.pi * 350.0 * t))
+    x = env * np.exp(1j * 2 * np.pi * 200.0 * t)
+    p, c = sam.init(fs, F64)
+    xj = jnp.asarray(x, C128)
+    theta = jnp.arctan2(xj.imag, xj.real)
+    # lock on the first half, compare forms on the second
+    phase, freq, _ = sam._pll_scan(p, c, theta[:4096])
+    c2 = c._replace(nco_phase=phase, nco_freq=freq)
+    valid, (lp, lf, lprev) = sam._pll_linear(p, c2, theta[4096:])
+    sp, sf, sprev = sam._pll_scan(p, c2, theta[4096:])
+    assert bool(valid)
+    # pre-update phases agree mod 2pi (the rotation absorbs the branch)
+    d = np.asarray(lprev) - np.asarray(sprev)
+    d = np.abs(d - 2 * np.pi * np.round(d / (2 * np.pi)))
+    assert d.max() < 1e-9
+    np.testing.assert_allclose(float(lf), float(sf), atol=1e-12)
+    dphi = (float(lp) - float(sp)) % (2 * np.pi)
+    assert min(dphi, 2 * np.pi - dphi) < 1e-9
+
+
 def test_sam_pll_matches_oracle():
     import oracles
     fs = 15625.0
