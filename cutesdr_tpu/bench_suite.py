@@ -20,9 +20,13 @@ import sys
 import time
 
 
+REPS = 3   # timings through the remote tunnel vary run to run; take the
+           # best of REPS measurements and report the spread (CLAUDE.md)
+
+
 def _timeit(step, args, n_iters, state_idx=1):
     """Time n_iters chained steps (state threads through), excluding the
-    first call (compile)."""
+    first call (compile).  Returns (best seconds/step, spread fraction)."""
     import jax
     out = step(*args)
     jax.block_until_ready(out)
@@ -37,9 +41,13 @@ def _timeit(step, args, n_iters, state_idx=1):
         jax.block_until_ready(o)
         return time.perf_counter() - t0
 
-    t1 = run(1)
-    tn = run(n_iters + 1)
-    return (tn - t1) / n_iters
+    samples = []
+    for _ in range(REPS):
+        t1 = run(1)
+        tn = run(n_iters + 1)
+        samples.append((tn - t1) / n_iters)
+    best = min(samples)
+    return best, (max(samples) - best) / best
 
 
 def bench_receiver_cfg(name, cfg, n_iters, extras=None):
@@ -55,12 +63,13 @@ def bench_receiver_cfg(name, cfg, n_iters, extras=None):
     x = ((rng.standard_normal(cfg.block_size)
           + 1j * rng.standard_normal(cfg.block_size)) * 300).astype(np.complex64)
     iq = jax.device_put(jnp.asarray(x))
-    per_step = _timeit(step, (params, state, iq), n_iters)
+    per_step, spread = _timeit(step, (params, state, iq), n_iters)
     msps = cfg.block_size / per_step / 1e6
     return {"config": name, "input_rate": cfg.input_rate, "mode": cfg.mode,
             "block": cfg.block_size, "ms_per_step": round(per_step * 1e3, 3),
             "iq_msps": round(msps, 1),
             "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
+            "spread": round(spread, 2),
             **(extras or {})}
 
 
@@ -91,16 +100,20 @@ def bench_channel_bank(n_iters):
         jax.block_until_ready(o.audio)
         return time.perf_counter() - t0
 
-    t1 = run(1)
-    tn = run(n_iters + 1)
-    per_step = (tn - t1) / n_iters
+    samples = []
+    for _ in range(REPS):
+        t1 = run(1)
+        tn = run(n_iters + 1)
+        samples.append((tn - t1) / n_iters)
+    per_step = min(samples)
     msps = cfg.block_size / per_step / 1e6
     return {"config": "64ch_bank_10msps", "channels": 64,
             "input_rate": cfg.input_rate, "block": cfg.block_size,
             "ms_per_step": round(per_step * 1e3, 3),
             "iq_msps": round(msps, 1),
             "channel_msps": round(msps * 64, 1),
-            "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1)}
+            "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
+            "spread": round((max(samples) - per_step) / per_step, 2)}
 
 
 def main(argv=None):
