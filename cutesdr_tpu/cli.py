@@ -197,6 +197,18 @@ def cmd_record(args) -> int:
     source = _make_source(args, block)
     target = int(args.seconds * args.fs)
 
+    if args.start_at:
+        if args.start_at.startswith("+"):
+            t_start = time.time() + float(args.start_at[1:])
+        else:
+            t_start = datetime.datetime.fromisoformat(
+                args.start_at).timestamp()
+        wait = t_start - time.time()
+        if wait > 0:
+            print(f"scheduled: recording starts in {wait:.1f}s",
+                  file=sys.stderr)
+            time.sleep(wait)
+
     def make_writer():
         if args.legacy:
             return RawIQWriter(args.out, args.fmt)
@@ -380,6 +392,9 @@ def main(argv=None) -> int:
                        help="bare file + .meta.json instead of SigMF")
     p_rec.add_argument("--pre-trigger-ms", type=float, default=0.0,
                        help="arm a ring recorder with this much history")
+    p_rec.add_argument("--start-at", default="",
+                       help="schedule the recording: ISO timestamp "
+                            "(e.g. 2026-08-19T21:00) or +SECONDS delay")
     p_rec.add_argument("--trigger-level", type=float, default=1000.0,
                        help="|IQ| level that fires the ring trigger")
     p_rec.set_defaults(fn=cmd_record)

@@ -133,6 +133,20 @@ def test_cli_record_sigmf(tmp_path):
     assert np.max(np.abs(blk)) > 1000  # the tone is there
 
 
+def test_cli_record_scheduled_start(tmp_path):
+    import time
+
+    from cutesdr_tpu.cli import main
+
+    out = str(tmp_path / "sched")
+    t0 = time.time()
+    rc = main(["record", "--source", "tone:1000", "--fs", "48000",
+               "--seconds", "0.05", "--out", out, "--start-at", "+0.3"])
+    assert rc == 0
+    assert time.time() - t0 >= 0.3
+    assert (tmp_path / "sched.sigmf-data").exists()
+
+
 def test_cli_record_pre_trigger(tmp_path):
     """Silence then a burst: the capture must include pre-trigger history."""
     import cutesdr_tpu.cli as cli
