@@ -22,6 +22,8 @@ from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
 from cutesdr_tpu.settings import SessionSettings
 from cutesdr_tpu.shard.channels import ChannelBank
 
+SPECTRA_BINS = 48               # per-channel mini-spectrum width (UI sparkline)
+
 
 @dataclass
 class BankSession:
@@ -54,6 +56,9 @@ class BankSession:
         self.metrics = StreamMetrics()
         self.smeter_db = np.full(len(self.tune_freqs), -160.0, np.float32)
         self.smeter_peak_db = np.full(len(self.tune_freqs), -160.0, np.float32)
+        # per-channel audio mini-spectra (dB, SPECTRA_BINS bins to ~6 kHz)
+        self.channel_spectra = np.full((len(self.tune_freqs), SPECTRA_BINS),
+                                       -120.0, np.float32)
         self._pending = np.zeros(0, np.complex64)
         self.running = False
 
@@ -81,9 +86,11 @@ class BankSession:
             out = self.bank.process(chunk)
             self.smeter_db = np.asarray(out.smeter_ave_db)
             self.smeter_peak_db = np.asarray(out.smeter_peak_db)
+            all_audio = np.asarray(out.audio)
+            self._update_spectra(all_audio, np.asarray(out.n_audio))
             m = self.monitor
             n_aud = int(np.asarray(out.n_audio)[m])
-            audio = np.asarray(out.audio)[m, :n_aud]
+            audio = all_audio[m, :n_aud]
             self.audio_queue.put_block(
                 np.clip(audio, -32767, 32767).astype(np.int16)
                 if not np.iscomplexobj(audio) else
@@ -120,10 +127,31 @@ class BankSession:
         rounded = round(freq_hz / res) * res
         return self.tune_channel(self.monitor, rounded)
 
+    def _update_spectra(self, audio: np.ndarray, n_audio: np.ndarray) -> None:
+        """Per-channel audio-band mini-spectrum (what the operator scans the
+        bank with): SPECTRA_BINS log-power bins over 0..fs_audio/8."""
+        n = int(n_audio.min())
+        if n < 4 * SPECTRA_BINS:
+            return
+        a = audio[:, :n]
+        if np.iscomplexobj(a):
+            a = a.real
+        w = np.hanning(n)
+        spec = np.abs(np.fft.rfft(a * w, axis=-1)) ** 2
+        # keep the bottom eighth of the band (voice) folded to SPECTRA_BINS
+        k = max(1, (spec.shape[-1] // 8) // SPECTRA_BINS)
+        spec = spec[:, :k * SPECTRA_BINS].reshape(len(a), SPECTRA_BINS, k)
+        power = spec.max(axis=-1)
+        ref = (32767.0 * w.sum() / 2.0) ** 2
+        self.channel_spectra = (10.0 * np.log10(
+            np.maximum(power / ref, 1e-12))).astype(np.float32)
+
     def channel_info(self) -> list[dict]:
         return [{"id": i, "tune_hz": float(f),
                  "smeter_db": round(float(self.smeter_db[i]), 1),
-                 "monitor": i == self.monitor}
+                 "monitor": i == self.monitor,
+                 "spec": [round(float(v), 1)
+                          for v in self.channel_spectra[i]]}
                 for i, f in enumerate(self.tune_freqs)]
 
     def status_line(self) -> str:

@@ -77,14 +77,29 @@ function drawFrame(d){
       sctx.fillText(String(c.id), x+2, 10);
     }
     const tbl = document.getElementById('chlist');
-    tbl.innerHTML = '<tr><th>ch</th><th>freq kHz</th><th>S dB</th></tr>' +
+    tbl.innerHTML = '<tr><th>ch</th><th>freq kHz</th><th>S dB</th>'+
+      '<th>audio</th></tr>' +
       d.channels.map(c =>
         `<tr data-ch="${c.id}" style="cursor:pointer;${c.monitor?
           'color:#fc0':''}"><td>${c.id}${c.monitor?' ♪':''}</td>`+
         `<td>${(c.tune_hz/1e3).toFixed(3)}</td>`+
-        `<td>${c.smeter_db.toFixed(1)}</td></tr>`).join('');
+        `<td>${c.smeter_db.toFixed(1)}</td>`+
+        `<td><canvas class="mini" data-ch="${c.id}" width="96" height="16">`+
+        `</canvas></td></tr>`).join('');
     for (const row of tbl.querySelectorAll('tr[data-ch]'))
       row.onclick = () => post('/select', {channel:+row.dataset.ch});
+    for (const cv of tbl.querySelectorAll('canvas.mini')) {
+      const c = d.channels[+cv.dataset.ch];
+      if (!c.spec) continue;
+      const g = cv.getContext('2d'), W = cv.width, H = cv.height;
+      g.fillStyle = '#222'; g.fillRect(0, 0, W, H);
+      g.fillStyle = c.monitor ? '#fc0' : '#4cf';
+      const bw = W / c.spec.length;
+      c.spec.forEach((v, i) => {
+        const h = Math.max(1, (v + 100) / 100 * H);   // -100..0 dB scale
+        g.fillRect(i * bw, H - h, Math.max(1, bw - 1), h);
+      });
+    }
   }
   const img = wctx.getImageData(0,0,wf.width,wf.height-1);
   wctx.putImageData(img,0,1);

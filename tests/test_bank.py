@@ -44,6 +44,21 @@ def test_bank_session_per_channel_smeter_and_audio():
     assert abs(pk - 2000.0) < 50, pk
 
 
+def test_bank_channel_mini_spectra():
+    """The per-channel mini-spectra must show each channel's own audio tone
+    (2 kHz on ch0, whatever ch1's offset demodulates to) above its floor."""
+    sess, cfg = _make_session()
+    sess.start()
+    iq = _two_tone(2e6, 100_000.0, 400_000.0, cfg.block_size * 6)
+    sess.pump(iq)
+    info = sess.channel_info()
+    for ch in info:
+        spec = np.array(ch["spec"])
+        assert spec.shape == (48,)
+        # a strong line well above the per-channel floor
+        assert spec.max() - np.median(spec) > 20, ch["id"]
+
+
 def test_bank_select_and_retune():
     sess, cfg = _make_session()
     sess.start()
