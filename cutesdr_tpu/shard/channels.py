@@ -46,10 +46,7 @@ class ChannelBank:
         p0, s0 = rx.init(self.cfg, self.rdtype)
         params = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (n,) + a.shape), p0)
-        incs = jnp.asarray(
-            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
-             for f in self.tune_freqs])
-        params = params._replace(nco=params.nco._replace(phase_inc=incs))
+        params = _retune(params, self.cfg, self.tune_freqs)
         state = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (n,) + a.shape), s0)
         self.params, self.state = params, state
@@ -80,11 +77,21 @@ class ChannelBank:
         return out
 
     def set_tune_freqs(self, freqs: Sequence[float]) -> None:
-        incs = jnp.asarray(
-            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
-             for f in freqs])
-        self.params = self.params._replace(
-            nco=self.params.nco._replace(phase_inc=incs))
+        self.params = _retune(self.params, self.cfg, freqs)
+
+
+def _retune(params, cfg, freqs: Sequence[float]):
+    """Per-channel tune: set the NCO increments — and the pallas decimator's
+    own oscillator when that kernel is in use (it owns the mixer, mirroring
+    Receiver.set_tune_freq)."""
+    incs = jnp.asarray(
+        [nco.phase_increment(f - cfg.cw_offset, cfg.input_rate)
+         for f in freqs])
+    params = params._replace(nco=params.nco._replace(phase_inc=incs))
+    if cfg.decimator_impl == "pallas":
+        params = params._replace(
+            dec=params.dec._replace(phase_inc=incs))
+    return params
 
 
 @dataclass
@@ -107,10 +114,7 @@ class StackedReceiver:
         p0, s0 = rx.init(self.cfg, self.rdtype)
         params = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (n,) + a.shape), p0)
-        incs = jnp.asarray(
-            [nco.phase_increment(f - self.cfg.cw_offset, self.cfg.input_rate)
-             for f in self.tune_freqs])
-        params = params._replace(nco=params.nco._replace(phase_inc=incs))
+        params = _retune(params, self.cfg, self.tune_freqs)
         state = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (n,) + a.shape), s0)
         self.params, self.state = params, state

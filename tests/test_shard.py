@@ -179,3 +179,37 @@ def test_decode_dual_packet():
     assert seq == 5
     np.testing.assert_allclose(c1, np.full(128, 1 + 2j))
     np.testing.assert_allclose(c2, np.full(128, 3 + 4j))
+
+
+def test_channel_bank_pallas_decimator_per_channel_tuning():
+    """With decimator_impl='pallas' the kernel owns the oscillator: the bank
+    must program per-channel phase increments into the kernel params too
+    (regression: all channels silently shared one tune frequency)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.shard.channels import ChannelBank
+
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None,
+                         agc_on=False, decimator_impl="pallas",
+                         pallas_interpret=True)
+    freqs = [20_000.0, 60_000.0]
+    bank = ChannelBank(cfg, freqs)
+    n = cfg.block_size
+    t = np.arange(2 * n) / cfg.input_rate
+    # tones 1.5 kHz above each channel's tune -> 1.5 kHz audio in both
+    x = (8000.0 * (np.exp(2j * np.pi * 21_500.0 * t)
+                   + np.exp(2j * np.pi * 61_500.0 * t))).astype(np.complex64)
+    audio = []
+    for b in np.split(x, 2):
+        out = bank.process(jnp.asarray(b))
+        audio.append(np.asarray(out.audio))
+    a = np.concatenate(audio, axis=-1)
+    fs_out = cfg.plan.out_rate
+    for ch in range(2):
+        y = a[ch]
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        f = np.fft.rfftfreq(len(y), 1.0 / fs_out)
+        pk = f[np.argmax(spec)]
+        assert abs(pk - 1500.0) < 40.0, (ch, pk)
