@@ -203,16 +203,47 @@ def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
     return fc, ic, ave, squelched, y
 
 
-def process(params: FmParams, carry: FmCarry,
-            x: jax.Array) -> tuple[FmCarry, jax.Array]:
-    phase, freq, dc, audio = _pll(params, carry, x)
+def _post(params: FmParams, carry: FmCarry, pll_out):
+    """Squelch + carry assembly after the PLL (fully parallel per block)."""
+    phase, freq, dc, audio = pll_out
     fc, ic, ave, squelched, y = _noise_squelch(params, carry, audio)
     return FmCarry(nco_phase=phase, nco_freq=freq, freq_error_dc=dc,
                    squelch_ave=ave, squelch_on=squelched,
                    hp_fir=fc, lp_iir=ic), y
 
 
+def process(params: FmParams, carry: FmCarry,
+            x: jax.Array) -> tuple[FmCarry, jax.Array]:
+    return _post(params, carry, _pll(params, carry, x))
+
+
 def process_stereo(params: FmParams, carry: FmCarry,
                    x: jax.Array) -> tuple[FmCarry, jax.Array]:
     carry, y = process(params, carry, x)
+    return carry, jax.lax.complex(y, y)
+
+
+def process_batch(params: FmParams, carry: FmCarry,
+                  x: jax.Array) -> tuple[FmCarry, jax.Array]:
+    """Channel-bank form: params/carry/x carry a leading channel axis.
+
+    Under plain vmap the per-channel lax.cond in _pll lowers to select, so
+    every bank step pays the sequential scan even when all channels are
+    locked.  Here the validity vote is taken across the whole bank *outside*
+    vmap: one real lax.cond picks the parallel linear solve for the entire
+    bank when every channel's linearization is exact, and falls back to the
+    (vmapped) scan — still bit-faithful per channel — otherwise.
+    """
+    theta = jnp.arctan2(x.imag, x.real)
+    valid, linear = jax.vmap(_pll_linear)(params, carry, theta)
+    pll_out = lax.cond(jnp.all(valid),
+                       lambda _: linear,
+                       lambda _: jax.vmap(_pll_scan)(params, carry, theta),
+                       None)
+    return jax.vmap(_post)(params, carry, pll_out)
+
+
+def process_batch_stereo(params: FmParams, carry: FmCarry,
+                         x: jax.Array) -> tuple[FmCarry, jax.Array]:
+    carry, y = process_batch(params, carry, x)
     return carry, jax.lax.complex(y, y)

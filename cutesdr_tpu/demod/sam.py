@@ -124,22 +124,33 @@ def _pll(params: SamParams, carry: SamCarry, x: jax.Array):
     return phase, freq, base
 
 
+def _pll_batch(params: SamParams, carry: SamCarry, x: jax.Array):
+    """Channel-bank PLL (leading channel axis on params/carry/x): one real
+    lax.cond over the whole bank's validity vote instead of a per-channel
+    select under vmap — see fm.process_batch for the rationale."""
+    theta = jnp.arctan2(x.imag, x.real)
+    valid, linear = jax.vmap(_pll_linear)(params, carry, theta)
+    phase, freq, prev = lax.cond(
+        jnp.all(valid),
+        lambda _: linear,
+        lambda _: jax.vmap(_pll_scan)(params, carry, theta),
+        None)
+    base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
+    return phase, freq, base
+
+
 def _dc_block(state, u):
     z0 = first_order_recurrence(DC_ALPHA, u, state)
     z_prev = jnp.concatenate([state[None], z0[:-1]], axis=-1)
     return z0[-1], z0 - z_prev
 
 
-def process(params: SamParams, carry: SamCarry,
-            x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll(params, carry, x)
+def _post_mono(carry: SamCarry, phase, freq, base):
     z1, y = _dc_block(carry.z1, base.real)
     return carry._replace(nco_phase=phase, nco_freq=freq, z1=z1), y
 
 
-def process_stereo(params: SamParams, carry: SamCarry,
-                   x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll(params, carry, x)
+def _post_stereo(params: SamParams, carry: SamCarry, phase, freq, base):
     z1, yi = _dc_block(carry.z1, base.real)
     y1, yq = _dc_block(carry.y1, base.imag)
     fc, f = fir.process_complex(params.hilbert, carry.hilbert,
@@ -149,3 +160,27 @@ def process_stereo(params: SamParams, carry: SamCarry,
     return (carry._replace(nco_phase=phase, nco_freq=freq, z1=z1, y1=y1,
                            hilbert=fc),
             jax.lax.complex(left, right))
+
+
+def process(params: SamParams, carry: SamCarry,
+            x: jax.Array) -> tuple[SamCarry, jax.Array]:
+    phase, freq, base = _pll(params, carry, x)
+    return _post_mono(carry, phase, freq, base)
+
+
+def process_stereo(params: SamParams, carry: SamCarry,
+                   x: jax.Array) -> tuple[SamCarry, jax.Array]:
+    phase, freq, base = _pll(params, carry, x)
+    return _post_stereo(params, carry, phase, freq, base)
+
+
+def process_batch(params: SamParams, carry: SamCarry,
+                  x: jax.Array) -> tuple[SamCarry, jax.Array]:
+    phase, freq, base = _pll_batch(params, carry, x)
+    return jax.vmap(_post_mono)(carry, phase, freq, base)
+
+
+def process_batch_stereo(params: SamParams, carry: SamCarry,
+                         x: jax.Array) -> tuple[SamCarry, jax.Array]:
+    phase, freq, base = _pll_batch(params, carry, x)
+    return jax.vmap(_post_stereo)(params, carry, phase, freq, base)

@@ -274,28 +274,20 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     return params, state
 
 
-def back_end(cfg: ReceiverConfig, params: ReceiverParams,
-             state: ReceiverState, filt: jax.Array, probes=None):
-    """Audio-rate tail of the chain (S-meter → AGC → demod → resample).
-
-    Runs on channel-filtered samples at the decimated rate; shared between
-    the single-chip step and the time-sharded runner (where the front-end is
-    sharded and this tail runs replicated on the gathered audio-rate data —
-    its compute is negligible next to the wideband front-end)."""
+def _levels(cfg: ReceiverConfig, params: ReceiverParams,
+            state: ReceiverState, filt: jax.Array):
+    """S-meter + AGC on the channel-filtered samples."""
     agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
-
     sm_c, _ = smeter.process(params.smeter, state.smeter, filt)
-
     agc_c, leveled = agc.process(agc_cfg, params.agc, state.agc, filt)
-    if probes is not None:
-        probes["p3_agc"] = leveled
+    return sm_c, agc_c, leveled
 
-    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
-    if probes is not None:
-        probes["p4_demod"] = audio
 
+def _tail(cfg: ReceiverConfig, params: ReceiverParams, state: ReceiverState,
+          audio: jax.Array, sm_c, probes=None):
+    """Resample → gain → output assembly (post-demod)."""
     if cfg.audio_rate is not None:
-        cap = resampler.max_out_for(filt.shape[-1],
+        cap = resampler.max_out_for(audio.shape[-1],
                                     cfg.output_rate / cfg.audio_rate)
         rs_c, audio_out, n_audio = resampler.process(
             params.resamp, state.resamp, audio, cap)
@@ -310,15 +302,33 @@ def back_end(cfg: ReceiverConfig, params: ReceiverParams,
     out = StepOutput(audio=audio_out, n_audio=n_audio,
                      smeter_ave_db=smeter.get_ave(sm_c),
                      smeter_peak_db=peak, probes=probes)
+    return sm_c, rs_c, out
+
+
+def back_end(cfg: ReceiverConfig, params: ReceiverParams,
+             state: ReceiverState, filt: jax.Array, probes=None):
+    """Audio-rate tail of the chain (S-meter → AGC → demod → resample).
+
+    Runs on channel-filtered samples at the decimated rate; shared between
+    the single-chip step and the time-sharded runner (where the front-end is
+    sharded and this tail runs replicated on the gathered audio-rate data —
+    its compute is negligible next to the wideband front-end)."""
+    sm_c, agc_c, leveled = _levels(cfg, params, state, filt)
+    if probes is not None:
+        probes["p3_agc"] = leveled
+
+    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
+    if probes is not None:
+        probes["p4_demod"] = audio
+
+    sm_c, rs_c, out = _tail(cfg, params, state, audio, sm_c, probes)
     return sm_c, agc_c, dm_c, rs_c, out
 
 
-def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
-                  state: ReceiverState,
-                  iq: jax.Array) -> tuple[ReceiverState, StepOutput]:
-    """Process one input block of cfg.block_size complex samples."""
-    probes = {} if cfg.probes else None
-
+def _front(cfg: ReceiverConfig, params: ReceiverParams,
+           state: ReceiverState, iq: jax.Array, probes=None):
+    """Wideband front end: blanker → DC cal → mix+decimate → channel filter.
+    Returns the updated front-end carries and the filtered baseband."""
     if cfg.nb_on:
         nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
                                             cfg.nb_width_us, cfg.input_rate)
@@ -355,8 +365,64 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
                                      base)
     if probes is not None:
         probes["p2_fastfir"] = filt
+    return nb_c, nco_c, dec_c, ff_c, filt
 
+
+def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
+                  state: ReceiverState,
+                  iq: jax.Array) -> tuple[ReceiverState, StepOutput]:
+    """Process one input block of cfg.block_size complex samples."""
+    probes = {} if cfg.probes else None
+    nb_c, nco_c, dec_c, ff_c, filt = _front(cfg, params, state, iq, probes)
     sm_c, agc_c, dm_c, rs_c, out = back_end(cfg, params, state, filt, probes)
+    new_state = ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
+                              chan_filter=ff_c, agc=agc_c, smeter=sm_c,
+                              demod=dm_c, resamp=rs_c)
+    return new_state, out
+
+
+def _demod_apply_batch(cfg: ReceiverConfig, params, carry, x):
+    """Demod a channel bank (leading channel axis on params/carry/x).
+
+    FM/SAM take the bank-voted PLL path (one real lax.cond over the whole
+    bank instead of per-channel cond→select under vmap, which would execute
+    the sequential scan every step); the other modes are plain vmap."""
+    m = cfg.mode_id
+    if m == DEMOD_SAM:
+        f = (sam_demod.process_batch_stereo if cfg.stereo
+             else sam_demod.process_batch)
+        return f(params, carry, x)
+    if m == DEMOD_FM:
+        f = (fm_demod.process_batch_stereo if cfg.stereo
+             else fm_demod.process_batch)
+        return f(params, carry, x)
+    return jax.vmap(lambda p, c, xx: _demod_apply(cfg, p, c, xx))(
+        params, carry, x)
+
+
+def bank_receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
+                       state: ReceiverState, iq: jax.Array,
+                       shared_input: bool = True
+                       ) -> tuple[ReceiverState, StepOutput]:
+    """Batched receiver step for channel banks: params/state carry a leading
+    channel axis; ``iq`` is one shared wideband block (shared_input=True,
+    ChannelBank) or a per-channel stack (False, StackedReceiver).
+
+    Equivalent to vmap(receiver_step) except the FM/SAM PLL runs through the
+    bank-wide validity vote (_demod_apply_batch), keeping the parallel
+    locked-loop solve effective under batching.  Probes are not supported
+    here (use the plain vmapped step for probe captures)."""
+    if cfg.probes:
+        raise ValueError("bank_receiver_step does not support cfg.probes")
+    front = jax.vmap(lambda p, s, x: _front(cfg, p, s, x),
+                     in_axes=(0, 0, None if shared_input else 0))
+    nb_c, nco_c, dec_c, ff_c, filt = front(params, state, iq)
+    sm_c, agc_c, leveled = jax.vmap(
+        lambda p, s, f: _levels(cfg, p, s, f))(params, state, filt)
+    dm_c, audio = _demod_apply_batch(cfg, params.demod, state.demod, leveled)
+    sm_c, rs_c, out = jax.vmap(
+        lambda p, s, a, sc: _tail(cfg, p, s, a, sc))(params, state, audio,
+                                                     sm_c)
     new_state = ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
                               chan_filter=ff_c, agc=agc_c, smeter=sm_c,
                               demod=dm_c, resamp=rs_c)

@@ -22,6 +22,20 @@ from cutesdr_tpu.ops import nco
 from cutesdr_tpu.pipeline import receiver as rx
 
 
+def _bank_step(cfg: rx.ReceiverConfig, shared_input: bool):
+    """Batched step for a bank.  With probes enabled fall back to plain
+    vmap(receiver_step) (the bank-voted path doesn't thread probe taps);
+    otherwise use bank_receiver_step, whose FM/SAM PLL takes one real
+    lax.cond over the whole bank's validity vote instead of a per-channel
+    cond→select under vmap (which would execute the sequential scan every
+    block even with every channel locked)."""
+    if cfg.probes:
+        return jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
+                        in_axes=(0, 0, None if shared_input else 0))
+    return lambda p, s, x: rx.bank_receiver_step(cfg, p, s, x,
+                                                 shared_input=shared_input)
+
+
 @dataclass
 class ChannelBank:
     """N channels, same static config, per-channel tune frequencies.
@@ -52,8 +66,7 @@ class ChannelBank:
         self.params, self.state = params, state
 
         cfg = self.cfg
-        step = jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
-                        in_axes=(0, 0, None))
+        step = _bank_step(cfg, shared_input=True)
         if self.mesh is not None:
             spec = P(self.axis)
             shard = NamedSharding(self.mesh, spec)
@@ -120,8 +133,7 @@ class StackedReceiver:
         self.params, self.state = params, state
 
         cfg = self.cfg
-        step = jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
-                        in_axes=(0, 0, 0))
+        step = _bank_step(cfg, shared_input=False)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(self.axis))
             self.params = jax.device_put(self.params, shard)

@@ -248,3 +248,107 @@ def test_sam_pll_matches_oracle():
     scale = np.abs(want[2000:]).max()
     np.testing.assert_allclose(np.asarray(got)[2000:], want[2000:],
                                atol=1e-6 * scale)
+
+
+def _stack_tree(trees):
+    return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *trees)
+
+
+def _bcast_tree(tree, n):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), tree)
+
+
+def _fm_signal(fs, n, mod_hz, dev_hz, t0=0.0):
+    t = t0 + np.arange(n) / fs
+    return (8000.0 * np.exp(1j * (dev_hz / mod_hz)
+                            * np.sin(2 * np.pi * mod_hz * t))).astype(complex)
+
+
+def test_fm_process_batch_matches_per_channel():
+    """Bank-voted batch path (all channels locked → one linear solve for the
+    whole bank) must reproduce per-channel fm.process."""
+    fs = 62500.0
+    n = 4096
+    p, _ = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    xs, carries = [], []
+    for mod in (400.0, 700.0, 1100.0):
+        x1 = jnp.asarray(_fm_signal(fs, n, mod, 2000.0), C128)
+        x2 = jnp.asarray(_fm_signal(fs, n, mod, 2000.0, t0=n / fs), C128)
+        _, c0 = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+        c1, _ = fm.process(p, c0, x1)      # lock-in block
+        carries.append(c1)
+        xs.append(x2)
+    bp = _bcast_tree(p, 3)
+    bc = _stack_tree(carries)
+    bx = jnp.stack(xs)
+    # the fast path must actually be available: every channel locked
+    theta = jnp.arctan2(bx.imag, bx.real)
+    valid, _ = jax.vmap(fm._pll_linear)(bp, bc, theta)
+    assert bool(jnp.all(valid))
+    nbc, by = fm.process_batch(bp, bc, bx)
+    for i in range(3):
+        ci, yi = fm.process(p, carries[i], xs[i])
+        scale = max(float(jnp.abs(yi).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(by[i]), np.asarray(yi),
+                                   atol=1e-9 * scale)
+        np.testing.assert_allclose(
+            float(jax.tree_util.tree_map(lambda a: a[i], nbc).nco_freq),
+            float(ci.nco_freq), atol=1e-12)
+
+
+def test_fm_process_batch_unlocked_falls_back_to_scan():
+    """One unlocked channel flips the whole bank to the scan; locked
+    channels still agree with per-channel process (linear == scan)."""
+    fs = 62500.0
+    n = 2048
+    p, _ = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    t = np.arange(n) / fs
+    locked = jnp.asarray(_fm_signal(fs, n, 700.0, 2000.0), C128)
+    # 20 kHz off-tune carrier: phase steps ~2 rad >> loop range → invalid
+    unlocked = jnp.asarray(8000.0 * np.exp(1j * 2 * np.pi * 20000.0 * t), C128)
+    _, c0 = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    c1, _ = fm.process(p, c0, locked)
+    bp = _bcast_tree(p, 2)
+    bc = _stack_tree([c1, c0])
+    bx = jnp.stack([locked, unlocked])
+    theta = jnp.arctan2(bx.imag, bx.real)
+    valid, _ = jax.vmap(fm._pll_linear)(bp, bc, theta)
+    assert bool(valid[0]) and not bool(valid[1])
+    _, by = fm.process_batch(bp, bc, bx)
+    for i, (c, x) in enumerate([(c1, locked), (c0, unlocked)]):
+        _, yi = fm.process(p, c, x)
+        scale = max(float(jnp.abs(yi).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(by[i]), np.asarray(yi),
+                                   atol=1e-8 * scale)
+
+
+def test_sam_process_batch_matches_per_channel():
+    fs = 15625.0
+    n = 4096
+    p, _ = sam.init(fs, F64)
+    xs, carries = [], []
+    for f0, mod in ((200.0, 350.0), (-150.0, 500.0)):
+        t = np.arange(2 * n) / fs
+        env = 6000.0 * (1.0 + 0.4 * np.cos(2 * np.pi * mod * t))
+        x = env * np.exp(1j * 2 * np.pi * f0 * t)
+        _, c0 = sam.init(fs, F64)
+        c1, _ = sam.process(p, c0, jnp.asarray(x[:n], C128))
+        carries.append(c1)
+        xs.append(jnp.asarray(x[n:], C128))
+    bp = _bcast_tree(p, 2)
+    bc = _stack_tree(carries)
+    bx = jnp.stack(xs)
+    _, by = sam.process_batch(bp, bc, bx)
+    for i in range(2):
+        _, yi = sam.process(p, carries[i], xs[i])
+        scale = max(float(jnp.abs(yi).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(by[i]), np.asarray(yi),
+                                   atol=1e-9 * scale)
+    # stereo variant compiles and matches too
+    _, bys = sam.process_batch_stereo(bp, bc, bx)
+    for i in range(2):
+        _, yis = sam.process_stereo(p, carries[i], xs[i])
+        scale = max(float(jnp.abs(yis).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(bys[i]), np.asarray(yis),
+                                   atol=1e-9 * scale)

@@ -213,3 +213,37 @@ def test_channel_bank_pallas_decimator_per_channel_tuning():
         f = np.fft.rfftfreq(len(y), 1.0 / fs_out)
         pk = f[np.argmax(spec)]
         assert abs(pk - 1500.0) < 40.0, (ch, pk)
+
+def test_channel_bank_fm_matches_single_receivers():
+    """FM bank (bank-voted PLL; one real lax.cond instead of per-channel
+    select under vmap) matches per-channel Receiver runs, sharded and not."""
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="fm", audio_rate=None,
+                         agc_on=False, squelch_ui=0)
+    freqs = [20_000.0, 60_000.0, 100_000.0, 140_000.0]
+    fs = cfg.input_rate
+    n = cfg.block_size * 3
+    t = np.arange(n) / fs
+    x = sum(3000.0 * np.exp(1j * (2 * np.pi * f * t
+                                  + (2000.0 / m) * np.sin(2 * np.pi * m * t)))
+            for f, m in zip(freqs, (300.0, 500.0, 700.0, 900.0)))
+
+    bank = ChannelBank(cfg, freqs)
+    mesh = make_mesh(channels=4)
+    bank_s = ChannelBank(cfg, freqs, mesh=mesh)
+    singles = [Receiver(ReceiverConfig(input_rate=cfg.input_rate, mode="fm",
+                                       audio_rate=None, agc_on=False,
+                                       squelch_ui=0, tune_freq=f))
+               for f in freqs]
+    for b in range(3):
+        blk = jnp.asarray(x[b * cfg.block_size:(b + 1) * cfg.block_size], C64)
+        out = bank.process(blk)
+        out_s = bank_s.process(blk)
+        for i, r in enumerate(singles):
+            o = r.process(blk)
+            scale = max(float(np.abs(np.asarray(o.audio)).max()), 1e-3)
+            np.testing.assert_allclose(np.asarray(out.audio[i]),
+                                       np.asarray(o.audio),
+                                       atol=2e-3 * scale)
+            np.testing.assert_allclose(np.asarray(out_s.audio[i]),
+                                       np.asarray(o.audio),
+                                       atol=2e-3 * scale)
