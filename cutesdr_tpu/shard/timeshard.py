@@ -190,7 +190,20 @@ class ShardedReceiver:
         return self.n_dev * self.cfg.block_size
 
     def process(self, iq) -> rx.StepOutput:
-        iq = jax.device_put(iq, self._x_sharding)
+        """Run one superblock.  ``iq`` is either host data (single process —
+        device_put shards it over the mesh) or an already globally-sharded
+        jax.Array built per-host via :meth:`host_stream` (multi-process,
+        where no single host holds the full superblock)."""
+        if not (isinstance(iq, jax.Array)
+                and iq.sharding.is_equivalent_to(self._x_sharding, iq.ndim)):
+            iq = jax.device_put(iq, self._x_sharding)
         self.state, self.ts_carry, out = self._step(
             self.params, self.state, self.ts_carry, iq)
         return out
+
+    def host_stream(self):
+        """Per-host ingest assembler: each process contributes only the time
+        slices its local devices own (shard/multihost.py), so a multi-host
+        run never gathers the raw stream to one host."""
+        from cutesdr_tpu.shard.multihost import HostShardedStream
+        return HostShardedStream(self.mesh, block_per_device=self.cfg.block_size)
