@@ -232,7 +232,21 @@ def process_batch(params: FmParams, carry: FmCarry,
     locked.  Here the validity vote is taken across the whole bank *outside*
     vmap: one real lax.cond picks the parallel linear solve for the entire
     bank when every channel's linearization is exact, and falls back to the
-    (vmapped) scan — still bit-faithful per channel — otherwise.
+    (vmapped) scan otherwise.
+
+    Caveats of the all-channel vote:
+
+    * The fallback is *numerically equivalent* per channel (roundoff-level —
+      linear solve and scan differ in float rounding), not bit-identical to
+      the per-channel ``process()``; and *which* path a locked channel takes
+      depends on the other channels' lock state, so bank output is only
+      reproducible given the same whole-bank input.
+    * A bank with even one persistently-unlocked channel (e.g. a squelched
+      monitor slot with pure noise) takes the scan every block, and the
+      linear solve is still computed and discarded — the vote helps banks
+      that are mostly locked, and costs a small constant otherwise.
+      Measured on a realistic mixed-lock bank before relying on the speedup
+      (tests/test_bank.py exercises both paths).
     """
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = jax.vmap(_pll_linear)(params, carry, theta)
