@@ -168,6 +168,11 @@ class SdrClient:
         self._keepalive_counter = 0
         self._ad6620: Ad6620Loader | None = None
         self._running = False
+        self._want_running = False      # user intent; survives reconnects
+        self._closed = False
+        self._reconnect_delay = 2.0
+        self._link_lost: asyncio.Event | None = None
+        self.reconnects = 0             # completed recoveries (metrics)
         self._tasks: list[asyncio.Task] = []
         # NCO spur cal state (interface/sdrinterface.cpp:791-848)
         self._spur_i = 0.0
@@ -176,38 +181,78 @@ class SdrClient:
         self._spur_active = False
 
     # ------------------------------------------------------ connection ----
-    async def connect(self, reconnect_delay: float = 2.0) -> None:
-        """TCP connect with auto-reconnect (interface/netiobase.cpp:301-377)."""
-        self._set_status(Status.CONNECTING)
-        while True:
-            try:
-                reader, self._writer = await asyncio.open_connection(
-                    self.host, self.port)
-                break
-            except OSError:
-                await asyncio.sleep(reconnect_delay)
-        loop = asyncio.get_running_loop()
-        self._udp_transport, _ = await loop.create_datagram_endpoint(
-            lambda: _UdpProtocol(self),
-            local_addr=("0.0.0.0", self.port))
-        self._tasks.append(asyncio.create_task(self._tcp_reader(reader)))
-        self._tasks.append(asyncio.create_task(self._keepalive_loop()))
-        self._set_status(Status.CONNECTED)
-        self.request_info()
+    async def connect(self, reconnect_delay: float = 2.0,
+                      keepalive_period: float = 1.0) -> None:
+        """Establish the link and start the supervisor.  Returns once the
+        first connection is up; afterwards a dead link (TCP EOF, connect
+        refusal, or 2 missed keepalive acks) tears the stream down and
+        re-enters the reference's backoff connect loop, resuming the stream
+        on reconnect (interface/netiobase.cpp:301-377,309-328)."""
+        self._reconnect_delay = reconnect_delay
+        self._keepalive_period = keepalive_period
+        self._closed = False
+        ready = asyncio.Event()
+        self._tasks.append(asyncio.create_task(self._link_supervisor(ready)))
+        await ready.wait()
 
     async def close(self) -> None:
+        self._closed = True
         for t in self._tasks:
             t.cancel()
             with contextlib.suppress(asyncio.CancelledError):
                 await t
         self._tasks.clear()
+        await self._teardown_link()
+        self._set_status(Status.NOT_CONNECTED)
+
+    async def _teardown_link(self) -> None:
         if self._writer is not None:
             self._writer.close()
             with contextlib.suppress(Exception):
                 await self._writer.wait_closed()
+            self._writer = None
         if self._udp_transport is not None:
             self._udp_transport.close()
-        self._set_status(Status.NOT_CONNECTED)
+            self._udp_transport = None
+        self._running = False
+
+    async def _link_supervisor(self, ready: asyncio.Event) -> None:
+        """Connect → monitor → teardown → backoff → reconnect, forever."""
+        first = True
+        while not self._closed:
+            self._set_status(Status.CONNECTING)
+            try:
+                reader, self._writer = await asyncio.open_connection(
+                    self.host, self.port)
+            except OSError:
+                await asyncio.sleep(self._reconnect_delay)
+                continue
+            loop = asyncio.get_running_loop()
+            self._udp_transport, _ = await loop.create_datagram_endpoint(
+                lambda: _UdpProtocol(self),
+                local_addr=("0.0.0.0", self.port))
+            self._assembler = StreamAssembler()
+            self._keepalive_counter = 0
+            self._link_lost = asyncio.Event()
+            children = [asyncio.create_task(self._tcp_reader(reader)),
+                        asyncio.create_task(self._keepalive_loop())]
+            self._set_status(Status.CONNECTED)
+            self.request_info()
+            if not first and self._want_running:
+                self.reconnects += 1
+                self.start()           # resume the stream after recovery
+            first = False
+            ready.set()
+            try:
+                await self._link_lost.wait()
+            finally:
+                for t in children:
+                    t.cancel()
+                    with contextlib.suppress(asyncio.CancelledError):
+                        await t
+                await self._teardown_link()
+            self._set_status(Status.ERROR)
+            await asyncio.sleep(self._reconnect_delay)
 
     def _set_status(self, s: Status) -> None:
         self.status = s
@@ -218,25 +263,33 @@ class SdrClient:
         if self._writer is not None:
             self._writer.write(raw)
 
+    def _mark_link_lost(self) -> None:
+        if self._link_lost is not None:
+            self._link_lost.set()
+
     async def _tcp_reader(self, reader: asyncio.StreamReader) -> None:
-        while True:
-            data = await reader.read(4096)
-            if not data:
-                self._set_status(Status.ERROR)
-                return
-            for msg in self._assembler.feed(data):
-                self._parse_message(msg)
+        try:
+            while True:
+                data = await reader.read(4096)
+                if not data:
+                    break
+                for msg in self._assembler.feed(data):
+                    self._parse_message(msg)
+        except OSError:
+            pass
+        self._mark_link_lost()
 
     async def _keepalive_loop(self) -> None:
-        """1 Hz status request; ERROR after 2 missed acks
-        (interface/sdrinterface.cpp:692-703)."""
+        """1 Hz status request; after 2 missed acks the link is declared
+        dead (interface/sdrinterface.cpp:692-703) and the supervisor tears
+        the stream down and re-enters the connect loop."""
         while True:
-            await asyncio.sleep(1.0)
+            await asyncio.sleep(self._keepalive_period)
             self._send(ascp.req_item(ci.GENERAL_STATUS_CODE))
             self._keepalive_counter += 1
             if self._keepalive_counter > 2:
-                self._set_status(Status.ERROR)
-                self._keepalive_counter = 0
+                self._mark_link_lost()
+                return
 
     # ----------------------------------------------------- control plane --
     @property
@@ -307,10 +360,12 @@ class SdrClient:
         self.set_rf_gain(self.rf_gain)
         self._keepalive_counter = 0
         self._running = True
+        self._want_running = True
         self._set_status(Status.RUNNING)
 
     def stop(self) -> None:
         self._running = False
+        self._want_running = False
         self._send(ascp.set_item(ci.RX_STATE,
                                  ("u8", ci.RX_STATE_DATACOMPLEX),
                                  ("u8", ci.RX_STATE_IDLE),

@@ -299,6 +299,7 @@ class FakeRadio:
     def __init__(self):
         self.received: list[AscpMessage] = []
         self.port = None
+        self.mute = False          # True -> stop acking (dead-radio test)
         self._server = None
 
     async def start(self):
@@ -317,6 +318,8 @@ class FakeRadio:
                 await self._respond(msg, writer)
 
     async def _respond(self, msg, writer):
+        if self.mute:
+            return
         if msg.msg_type == ascp.TYPE_HOST_REQ_CITEM:
             item = msg.citem()
             if item == ci.GENERAL_INTERFACE_NAME:
@@ -352,6 +355,72 @@ def test_sdr_client_handshake_and_start():
                        ci.RX_OUT_SAMPLE_RATE, ci.RX_STATE, ci.RX_RF_GAIN):
             assert expect in items, hex(expect)
         assert client.status == Status.RUNNING
+        await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_sdr_client_keepalive_reconnect():
+    """Radio goes silent mid-stream: after 2 missed keepalive acks the
+    client must tear the stream down, re-enter the backoff connect loop and
+    resume the stream on reconnect — the reference's TCP thread behavior
+    (interface/sdrinterface.cpp:692-703 + netiobase.cpp:309-328)."""
+    from cutesdr_tpu.io.netsdr import SdrClient, Status
+
+    async def scenario():
+        radio = FakeRadio()
+        await radio.start()
+        statuses = []
+        client = SdrClient(host="127.0.0.1", port=radio.port,
+                           on_status=statuses.append)
+        await client.connect(reconnect_delay=0.05, keepalive_period=0.05)
+        await asyncio.sleep(0.2)
+        client.start()
+        assert client.status == Status.RUNNING
+
+        def rx_state_on_count():
+            n = 0
+            for m in radio.received:
+                if (m.msg_type == ascp.TYPE_HOST_SET_CITEM
+                        and len(m.body) >= 4 and m.citem() == ci.RX_STATE):
+                    if m.body[3] == ci.RX_STATE_ON:
+                        n += 1
+            return n
+
+        await asyncio.sleep(0.1)
+        n_starts_before = rx_state_on_count()
+        assert n_starts_before >= 1
+
+        radio.mute = True               # radio stops acking keepalives
+        await asyncio.sleep(0.6)        # > 3 keepalive periods + backoff
+        assert Status.ERROR in statuses  # link declared dead
+        radio.mute = False              # radio comes back
+        await asyncio.sleep(0.6)
+
+        assert client.reconnects >= 1
+        assert client.status == Status.RUNNING          # stream resumed
+        assert rx_state_on_count() > n_starts_before    # re-sent start burst
+        await client.close()
+        assert client.status == Status.NOT_CONNECTED
+
+    asyncio.run(scenario())
+
+
+def test_sdr_client_tcp_drop_reconnect():
+    """A hard TCP drop (EOF) must also trigger the reconnect loop."""
+    from cutesdr_tpu.io.netsdr import SdrClient, Status
+
+    async def scenario():
+        radio = FakeRadio()
+        await radio.start()
+        client = SdrClient(host="127.0.0.1", port=radio.port)
+        await client.connect(reconnect_delay=0.05, keepalive_period=10.0)
+        await asyncio.sleep(0.2)
+        client.start()
+        client._writer.transport.abort()   # hard connection drop
+        await asyncio.sleep(0.6)
+        assert client.reconnects >= 1
+        assert client.status == Status.RUNNING   # stream resumed
         await client.close()
 
     asyncio.run(scenario())
