@@ -49,7 +49,8 @@ def latency_report(cfg: "ReceiverConfig", include_queue: bool = False) -> dict:
         "fastfir_group_delay": (cfg.fastfir_ntaps - 1) / 2 / fs_out,
     }
     if cfg.audio_rate is not None:
-        comp["resampler_group_delay"] = SINC_PERIODS / 2 / fs_out
+        periods = getattr(cfg, "resampler_periods", SINC_PERIODS)
+        comp["resampler_group_delay"] = periods / 2 / fs_out
     if include_queue and cfg.audio_rate is not None:
         from cutesdr_tpu.io.audio_sink import OUTQSIZE
         comp["audio_queue_half_fill"] = OUTQSIZE / 2 / cfg.audio_rate

@@ -29,22 +29,27 @@ from cutesdr_tpu.design.windows import window_table
 from cutesdr_tpu.types import K_PI
 
 SINC_PERIOD_PTS = 10000
-SINC_PERIODS = 28
+SINC_PERIODS = 28            # reference-exact default (fractresampler.cpp:50)
 SINC_LENGTH = SINC_PERIODS * SINC_PERIOD_PTS + 1
 MAX_SOUNDCARDVAL = 32767.0
 
 _DT_SPLIT = 4096.0   # dt_hi quantum 2^-12
 
 
-def make_sinc_table(rdtype=np.float32) -> np.ndarray:
+def make_sinc_table(rdtype=np.float32,
+                    periods: int = SINC_PERIODS) -> np.ndarray:
     """Blackman-Harris windowed sinc, identical formula to the reference
-    table builder (dsp/fractresampler.cpp:101-114)."""
-    i = np.arange(SINC_LENGTH, dtype=np.float64)
-    window = window_table("blackman_harris", SINC_LENGTH)
-    fi = K_PI * (i - SINC_LENGTH // 2) / SINC_PERIOD_PTS
+    table builder (dsp/fractresampler.cpp:101-114).  ``periods`` > 28
+    raises the method's SNR ceiling beyond the reference's (the window gets
+    longer, so its transition region narrows and the interpolation images
+    drop); 28 reproduces the reference table exactly."""
+    length = periods * SINC_PERIOD_PTS + 1
+    i = np.arange(length, dtype=np.float64)
+    window = window_table("blackman_harris", length)
+    fi = K_PI * (i - length // 2) / SINC_PERIOD_PTS
     with np.errstate(invalid="ignore", divide="ignore"):
         s = window * np.sin(fi) / fi
-    s[SINC_LENGTH // 2] = 1.0
+    s[length // 2] = 1.0
     return s.astype(rdtype)
 
 
@@ -64,15 +69,16 @@ def split_rate(rate: float) -> tuple[np.float32, np.float32]:
     return np.float32(hi), np.float32(rate - hi)
 
 
-def init(rate: float, complex_input: bool = False,
-         rdtype=jnp.float32) -> tuple[ResamplerParams, ResamplerCarry]:
+def init(rate: float, complex_input: bool = False, rdtype=jnp.float32,
+         periods: int = SINC_PERIODS) -> tuple[ResamplerParams, ResamplerCarry]:
     hi, lo = split_rate(rate)
     zero = jnp.zeros((), rdtype)
     tdtype = jax.lax.complex(zero, zero).dtype if complex_input else rdtype
-    return (ResamplerParams(sinc=jnp.asarray(make_sinc_table(), rdtype),
+    return (ResamplerParams(sinc=jnp.asarray(make_sinc_table(periods=periods),
+                                             rdtype),
                             dt_hi=jnp.asarray(hi, rdtype),
                             dt_lo=jnp.asarray(lo, rdtype)),
-            ResamplerCarry(tail=jnp.zeros(SINC_PERIODS, tdtype),
+            ResamplerCarry(tail=jnp.zeros(periods, tdtype),
                            t0=jnp.zeros((), rdtype)))
 
 
@@ -116,27 +122,34 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
 
     Returns (carry', y[max_out], n_valid).  y[k] for k >= n_valid is zero.
 
-    ``interp=True`` linearly interpolates between sinc-table points; measured
-    SNR is unchanged (~70 dB) because the method's ceiling is the 28-period
-    window itself, not table quantization — kept as an option, default off
-    (reference-exact truncating lookup).  Raising the ceiling needs a longer
-    sinc (SINC_PERIODS) — a TODO.md item.
+    ``interp=True`` linearly interpolates between sinc-table points; at the
+    reference's 28 periods the measured SNR is unchanged (~70 dB — the
+    ceiling there is the window itself, not table quantization) so it
+    defaults off (reference-exact truncating lookup).  With a longer table
+    (``init(periods=...)``) the window ceiling rises and interp matters —
+    tests/test_ops.py::test_resampler_long_sinc_snr measures the combined
+    effect.
+
+    The tap count is derived from ``carry.tail``, so one compiled program
+    per sinc length (static shape).
     """
     n = x.shape[-1]
+    periods = carry.tail.shape[-1]
+    length = params.sinc.shape[-1]
     rdtype = params.dt_hi.dtype
     k = jnp.arange(max_out, dtype=rdtype)
     t_int, t_frac = _times(params, carry.t0, k)            # [max_out]
 
-    z = jnp.concatenate([carry.tail, x], axis=-1)          # z[m] = x[m-28]
-    i = jnp.arange(1, SINC_PERIODS + 1)
+    z = jnp.concatenate([carry.tail, x], axis=-1)          # z[m] = x[m-P]
+    i = jnp.arange(1, periods + 1)
     valid = t_int < n
     t_safe = jnp.where(valid, t_int, 0)
-    win = z[..., t_safe[:, None] + i[None, :]]             # [max_out, 28]
+    win = z[..., t_safe[:, None] + i[None, :]]             # [max_out, P]
     spos = (i[None, :].astype(rdtype) - t_frac[:, None]) * SINC_PERIOD_PTS
     sindx = spos.astype(jnp.int32)                         # truncates
-    s0 = params.sinc[jnp.clip(sindx, 0, SINC_LENGTH - 1)]  # [max_out, 28]
+    s0 = params.sinc[jnp.clip(sindx, 0, length - 1)]       # [max_out, P]
     if interp:
-        s1 = params.sinc[jnp.clip(sindx + 1, 0, SINC_LENGTH - 1)]
+        s1 = params.sinc[jnp.clip(sindx + 1, 0, length - 1)]
         frac = spos - sindx.astype(rdtype)
         sv = s0 + frac * (s1 - s0)
     else:
@@ -154,7 +167,7 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     cnt = n_valid.astype(rdtype)
     a = cnt * params.dt_hi
     t0_new = (a - n) + (carry.t0 + cnt * params.dt_lo)
-    return (ResamplerCarry(tail=z[..., z.shape[-1] - SINC_PERIODS:],
+    return (ResamplerCarry(tail=z[..., z.shape[-1] - periods:],
                            t0=t0_new),
             y, n_valid)
 
