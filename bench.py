@@ -44,17 +44,21 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
     params, state = rx.init(cfg)
 
     @jax.jit
-    def step(params, state, iq):
-        return rx.receiver_step(cfg, params, state, iq)
+    def step(params, state, re, im):
+        # complex formed on device: complex64 crossing the host<->device
+        # boundary wedges the axon tunnel (CLAUDE.md), and the production
+        # ingest path ships f32 planes for the same reason
+        return rx.receiver_step(cfg, params, state, jax.lax.complex(re, im))
 
     rng = np.random.default_rng(7)
-    x = (rng.standard_normal(cfg.block_size)
-         + 1j * rng.standard_normal(cfg.block_size)).astype(np.complex64) * 100
-    iq = jax.device_put(jnp.asarray(x))
+    re = jax.device_put(jnp.asarray(
+        rng.standard_normal(cfg.block_size).astype(np.float32) * 100))
+    im = jax.device_put(jnp.asarray(
+        rng.standard_normal(cfg.block_size).astype(np.float32) * 100))
 
     t0 = time.perf_counter()
     for _ in range(warmup):
-        state, out = step(params, state, iq)
+        state, out = step(params, state, re, im)
     jax.block_until_ready(out)
     t1 = time.perf_counter()
     print(f"compile+warmup: {t1 - t0:.1f}s  block={cfg.block_size}",
@@ -62,7 +66,7 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, out = step(params, state, iq)
+        state, out = step(params, state, re, im)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -83,7 +83,9 @@ class BankSession:
                 self.on_spectrum(self.analyzer.spectrum_db())
             self.metrics.overload = self.analyzer.overload
 
-            out = self.bank.process(chunk)
+            # host-plane path: stereo audio arrives as [ch, cap, 2] float
+            # stacks; complex64 never crosses the device boundary
+            out = self.bank.process_host(chunk)
             self.smeter_db = np.asarray(out.smeter_ave_db)
             self.smeter_peak_db = np.asarray(out.smeter_peak_db)
             all_audio = np.asarray(out.audio)
@@ -92,11 +94,7 @@ class BankSession:
             n_aud = int(np.asarray(out.n_audio)[m])
             audio = all_audio[m, :n_aud]
             self.audio_queue.put_block(
-                np.clip(audio, -32767, 32767).astype(np.int16)
-                if not np.iscomplexobj(audio) else
-                np.stack([np.clip(audio.real, -32767, 32767),
-                          np.clip(audio.imag, -32767, 32767)],
-                         axis=-1).astype(np.int16))
+                np.clip(audio, -32767, 32767).astype(np.int16))
             self.metrics.update_block(bs, n_aud,
                                       float(self.smeter_db[m]),
                                       float(self.smeter_peak_db[m]))

@@ -58,12 +58,16 @@ def bench_receiver_cfg(name, cfg, n_iters, extras=None):
     from cutesdr_tpu.pipeline import receiver as rx
 
     params, state = rx.init(cfg)
-    step = jax.jit(lambda p, s, x: rx.receiver_step(cfg, p, s, x))
+    # production ingest contract: f32 planes in, complex formed on device
+    # (complex64 host<->device transfers wedge the axon tunnel — CLAUDE.md)
+    step = jax.jit(lambda p, s, re, im: rx.receiver_step(
+        cfg, p, s, jax.lax.complex(re, im)))
     rng = np.random.default_rng(3)
-    x = ((rng.standard_normal(cfg.block_size)
-          + 1j * rng.standard_normal(cfg.block_size)) * 300).astype(np.complex64)
-    iq = jax.device_put(jnp.asarray(x))
-    per_step, spread = _timeit(step, (params, state, iq), n_iters)
+    re = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
+    im = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
+    per_step, spread = _timeit(step, (params, state, re, im), n_iters)
     msps = cfg.block_size / per_step / 1e6
     return {"config": name, "input_rate": cfg.input_rate, "mode": cfg.mode,
             "block": cfg.block_size, "ms_per_step": round(per_step * 1e3, 3),
@@ -86,17 +90,19 @@ def bench_channel_bank(n_iters):
     freqs = [(-4.5e6 + 140_000.0 * i) for i in range(64)]
     bank = ChannelBank(cfg, freqs)
     rng = np.random.default_rng(4)
-    x = ((rng.standard_normal(cfg.block_size)
-          + 1j * rng.standard_normal(cfg.block_size)) * 300).astype(np.complex64)
-    iq = jax.device_put(jnp.asarray(x))
+    re = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
+    im = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
 
-    out = bank.process(iq)
+    state, out = bank._step_planes(bank.params, bank.state, re, im)
     jax.block_until_ready(out.audio)
 
     def run(k):
+        s = state
         t0 = time.perf_counter()
         for _ in range(k):
-            o = bank.process(iq)
+            s, o = bank._step_planes(bank.params, s, re, im)
         jax.block_until_ready(o.audio)
         return time.perf_counter() - t0
 
@@ -116,10 +122,53 @@ def bench_channel_bank(n_iters):
             "spread": round((max(samples) - per_step) / per_step, 2)}
 
 
+def bench_session_streaming(n_blocks, depth):
+    """Steady-state SESSION throughput at 20 MSPS: host re-blocking, f32
+    plane upload, device step, audio D2H + rate-locked queue, spectrum
+    accumulation — the whole production loop, not a tight device loop.
+    pipeline_depth=2 overlaps the host work of block k+1 with the device
+    compute of block k (XLA async dispatch); depth=1 is the synchronous
+    baseline."""
+    import numpy as np
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.session import ReceiverSession
+
+    cfg = ReceiverConfig(input_rate=20_000_000.0, mode="usb",
+                         audio_rate=48000.0)
+    sess = ReceiverSession(cfg, pipeline_depth=depth)
+    sess.start()
+    rng = np.random.default_rng(5)
+    feed = [((rng.standard_normal(cfg.block_size)
+              + 1j * rng.standard_normal(cfg.block_size)) * 300
+             ).astype(np.complex64) for _ in range(4)]
+    sess.pump(feed[0])        # compile + warm
+    sess.flush()
+
+    samples = []
+    for _ in range(REPS):
+        # drain the audio queue so overflow handling doesn't enter the loop
+        if sess.audio_queue.level > 0:
+            sess.audio_queue.get(sess.audio_queue.level)
+        t0 = time.perf_counter()
+        for i in range(n_blocks):
+            sess.pump(feed[i % len(feed)])
+        sess.flush()
+        samples.append((time.perf_counter() - t0) / n_blocks)
+    per_block = min(samples)
+    msps = cfg.block_size / per_block / 1e6
+    return {"config": f"session_20msps_depth{depth}", "depth": depth,
+            "input_rate": cfg.input_rate, "block": cfg.block_size,
+            "ms_per_block": round(per_block * 1e3, 3),
+            "iq_msps": round(msps, 1),
+            "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
+            "spread": round((max(samples) - per_block) / per_block, 2)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--only", type=int, default=0, help="run one config 1-5")
+    ap.add_argument("--only", type=int, default=0, help="run one config 1-7")
     args = ap.parse_args(argv)
 
     from cutesdr_tpu.pipeline.receiver import ReceiverConfig
@@ -142,6 +191,8 @@ def main(argv=None):
             "full_20msps", ReceiverConfig(input_rate=20_000_000.0,
                                           mode="usb", audio_rate=48000.0),
             args.iters),
+        6: lambda: bench_session_streaming(max(8, args.iters), depth=1),
+        7: lambda: bench_session_streaming(max(8, args.iters), depth=2),
     }
     for k in sorted(runs):
         if args.only and k != args.only:

@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def _add_receiver_args(p: argparse.ArgumentParser) -> None:
+def _add_receiver_args(p: argparse.ArgumentParser,
+                       default_latency_ms: float = 0.0) -> None:
     p.add_argument("--source", default="sweep",
                    help="'sweep', 'tone:FREQ', 'file:PATH[:fmt]', or "
                         "'udp:PORT' (native ingest)")
@@ -39,9 +40,15 @@ def _add_receiver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--probe", type=int, default=0,
                    help="dump probe tap N (1..7) to probeN.npy")
-    p.add_argument("--target-latency-ms", type=float, default=0.0,
+    p.add_argument("--target-latency-ms", type=float,
+                   default=default_latency_ms,
                    help="shrink the channel filter until the pipeline "
-                        "latency meets this target (0 = reference sizes)")
+                        "latency meets this target; 0 = max-throughput "
+                        "2048/1025 filter sizes.  run/serve default to the "
+                        "reference's ~10 ms operating point "
+                        "(dsp/demodulator.cpp:145-146), falling back to "
+                        "the smallest filter if 10 ms is unreachable; an "
+                        "explicit target that can't be met is an error")
     p.add_argument("--front-dtype", default="f32", choices=["f32", "bf16"],
                    help="decimation-conv compute dtype (bf16 halves HBM "
                         "traffic, ~67 dB SNR vs f32)")
@@ -56,12 +63,26 @@ def _cfg_from_args(args, probes: bool = False):
         low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
         agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
         stereo=args.stereo, front_dtype=args.front_dtype, probes=probes)
-    if args.target_latency_ms > 0:
+    # negative = the run/serve built-in default: ~10 ms best-effort
+    best_effort = args.target_latency_ms < 0
+    target_ms = 10.0 if best_effort else args.target_latency_ms
+    if target_ms > 0:
         try:
-            cfg = choose_fastfir_sizes(cfg, args.target_latency_ms * 1e-3)
+            cfg = choose_fastfir_sizes(cfg, target_ms * 1e-3)
         except ValueError as e:
-            raise SystemExit(f"error: {e}")
-        print(f"latency target {args.target_latency_ms} ms -> "
+            if not best_effort:
+                raise SystemExit(f"error: {e}")
+            from dataclasses import replace
+
+            from cutesdr_tpu.design.latency import MIN_NFFT, latency_report
+            cfg = replace(cfg, fastfir_nfft=MIN_NFFT,
+                          fastfir_ntaps=MIN_NFFT // 2 + 1,
+                          frames_per_block=1, fastfir_impl="xla")
+            print(f"note: 10 ms default unreachable for this config "
+                  f"({e}); using the smallest filter "
+                  f"({latency_report(cfg)['total'] * 1e3:.1f} ms)",
+                  file=sys.stderr)
+        print(f"latency target {target_ms} ms -> "
               f"fastfir {cfg.fastfir_nfft}/{cfg.fastfir_ntaps}",
               file=sys.stderr)
     return cfg
@@ -110,10 +131,8 @@ def _make_source(args, block_size):
 
 
 def cmd_run(args) -> int:
-    import jax.numpy as jnp
-
     from cutesdr_tpu.io.filesource import WavSink
-    from cutesdr_tpu.pipeline.receiver import Receiver
+    from cutesdr_tpu.pipeline.receiver import Receiver, join_complex_pair
 
     cfg = _cfg_from_args(args, probes=args.probe > 0)
     rx = Receiver(cfg)
@@ -128,14 +147,21 @@ def cmd_run(args) -> int:
             iq = source()
             if iq is None:
                 break
-            out = rx.process(jnp.asarray(iq, jnp.complex64))
+            # host-plane path: no complex64 across the device boundary
+            # (stereo audio / complex probes arrive as [..., 2] stacks)
+            out = rx.process_host(iq)
             audio = np.asarray(out.audio)[:int(out.n_audio)]
+            if args.stereo:
+                audio = audio[..., 0] + 1j * audio[..., 1]
             wav.write(audio)
             if args.probe:
                 key = {1: "p1_downconvert", 2: "p2_fastfir", 3: "p3_agc",
                        4: "p4_demod", 5: "p5_resampled",
                        7: "p7_blanker"}[args.probe]
-                probes.append(np.asarray(out.probes[key]))
+                tap = np.asarray(out.probes[key])
+                if tap.ndim == 2 and tap.shape[-1] == 2:
+                    tap = join_complex_pair(tap)   # split complex leaf
+                probes.append(tap)
             if i % 10 == 0:
                 print(f"block {i}/{n_blocks} s-meter "
                       f"{float(out.smeter_ave_db):6.1f} dB", file=sys.stderr)
@@ -371,7 +397,7 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_run = sub.add_parser("run", help="demodulate a stream to WAV")
-    _add_receiver_args(p_run)
+    _add_receiver_args(p_run, default_latency_ms=-1.0)
     p_run.add_argument("--out", default="audio.wav")
     p_run.set_defaults(fn=cmd_run)
 
@@ -400,7 +426,7 @@ def main(argv=None) -> int:
     p_rec.set_defaults(fn=cmd_record)
 
     p_srv = sub.add_parser("serve", help="browser spectrum/waterfall UI")
-    _add_receiver_args(p_srv)
+    _add_receiver_args(p_srv, default_latency_ms=-1.0)
     p_srv.add_argument("--port", type=int, default=8765)
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")

@@ -81,6 +81,13 @@ class ReceiverConfig:
     # output
     stereo: bool = False
     audio_rate: float | None = SOUNDCARD_RATE   # None: raw demod-rate audio
+    # resampler quality: sinc-table interpolation lifts the audio-band SINAD
+    # from ~99 dB to ~123 dB (measured, tests/test_ops.py) for one extra
+    # gather+FMA — on by default (the reference's truncating lookup is
+    # resampler_interp=False); periods=28 is the reference's table length
+    # (dsp/fractresampler.cpp:50), longer is available but not the limiter.
+    resampler_interp: bool = True
+    resampler_periods: int = resampler.SINC_PERIODS
     # channel-filter sizes: smaller -> lower latency (one overlap-save frame
     # = fastfir_nfft - fastfir_ntaps + 1 output samples), larger -> sharper
     # filter + higher throughput.  Defaults match the reference (2048/1025).
@@ -255,7 +262,8 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
 
     if cfg.audio_rate is not None:
         rs_p, rs_c = resampler.init(fs_out / cfg.audio_rate,
-                                    complex_input=cfg.stereo, rdtype=rdtype)
+                                    complex_input=cfg.stereo, rdtype=rdtype,
+                                    periods=cfg.resampler_periods)
     else:
         rs_p, rs_c = None, None
 
@@ -274,6 +282,91 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     return params, state
 
 
+def _fit_leaf(old: jax.Array, new: jax.Array) -> jax.Array:
+    """Carry an old state leaf into a new template: identical shape/dtype
+    passes through; 1-D history buffers keep their most recent samples at
+    the end (delay lines / filter tails store newest-last); anything else
+    takes the fresh template."""
+    old = jnp.asarray(old)
+    new = jnp.asarray(new)
+    if old.shape == new.shape and old.dtype == new.dtype:
+        return old
+    if old.ndim == 1 and new.ndim == 1 and old.dtype == new.dtype:
+        n = min(old.shape[0], new.shape[0])
+        if n == 0:
+            return new
+        return new.at[new.shape[0] - n:].set(old[old.shape[0] - n:])
+    return new
+
+
+def _fit_tree(old, new):
+    """_fit_leaf over a pytree; falls back to the fresh template when the
+    tree structures differ."""
+    try:
+        return jax.tree_util.tree_map(_fit_leaf, old, new)
+    except ValueError:
+        return new
+
+
+def migrate_state(old_cfg: ReceiverConfig, old: ReceiverState,
+                  new_cfg: ReceiverConfig,
+                  fresh: ReceiverState) -> ReceiverState:
+    """Carry stream state across a mode / rate / filter-size change.
+
+    The reference retunes and changes demod mode live against a running
+    stream under mutexes (dsp/demodulator.cpp:107-157); a mode change there
+    rebuilds the decimation chain and re-instantiates the demodulator
+    (fresh delay lines) but the stream position and oscillator phase roll
+    on.  Here the same semantics, made explicit:
+
+    * NCO phase continues when the input rate is unchanged (the reference's
+      oscillator keeps phase across retunes, dsp/downconvert.cpp:98-107);
+    * input-rate histories (noise blanker, decimator tail) are *rate-exact*
+      regardless of the decimation plan, so their most recent samples carry
+      over even when the plan changes (keep-latest, zero-padded);
+    * output-rate histories (channel filter tail, AGC delay/mag windows,
+      demod filter tails, resampler tail) carry over only when the
+      decimated rate is unchanged — at a new rate they restart, giving one
+      bounded fill-in transient exactly like the reference's rebuilt chain;
+    * scalar level trackers (AGC attack/decay averages, S-meter averages,
+      resampler fractional time) always carry, so gain/meters don't slam.
+    """
+    same_in = old_cfg.input_rate == new_cfg.input_rate
+    same_out = old_cfg.output_rate == new_cfg.output_rate
+    same_mode = old_cfg.mode == new_cfg.mode
+
+    nco_c = old.nco if same_in else fresh.nco
+    if old_cfg.nb_on and new_cfg.nb_on and same_in:
+        nb_c = _fit_tree(old.blanker, fresh.blanker)
+    else:
+        nb_c = fresh.blanker
+    if same_in and old_cfg.decimator_impl == new_cfg.decimator_impl:
+        dec_c = _fit_tree(old.dec, fresh.dec)
+    else:
+        dec_c = fresh.dec
+    chan_c = _fit_tree(old.chan_filter, fresh.chan_filter) if same_out \
+        else fresh.chan_filter
+
+    if same_out:
+        agc_c = _fit_tree(old.agc, fresh.agc)
+    else:  # keep the level trackers, restart the rate-sized windows
+        agc_c = fresh.agc._replace(attack_ave=old.agc.attack_ave,
+                                   decay_ave=old.agc.decay_ave)
+    sm_c = old.smeter
+
+    dm_c = _fit_tree(old.demod, fresh.demod) if same_mode else fresh.demod
+
+    if (old.resamp is not None and fresh.resamp is not None):
+        rs_c = _fit_tree(old.resamp, fresh.resamp) if same_out \
+            else fresh.resamp._replace(t0=old.resamp.t0)
+    else:
+        rs_c = fresh.resamp
+
+    return ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
+                         chan_filter=chan_c, agc=agc_c, smeter=sm_c,
+                         demod=dm_c, resamp=rs_c)
+
+
 def _levels(cfg: ReceiverConfig, params: ReceiverParams,
             state: ReceiverState, filt: jax.Array):
     """S-meter + AGC on the channel-filtered samples."""
@@ -290,7 +383,8 @@ def _tail(cfg: ReceiverConfig, params: ReceiverParams, state: ReceiverState,
         cap = resampler.max_out_for(audio.shape[-1],
                                     cfg.output_rate / cfg.audio_rate)
         rs_c, audio_out, n_audio = resampler.process(
-            params.resamp, state.resamp, audio, cap)
+            params.resamp, state.resamp, audio, cap,
+            interp=cfg.resampler_interp)
         audio_out = audio_out * params.audio_gain
         if probes is not None:
             probes["p5_resampled"] = audio_out
@@ -410,28 +504,72 @@ def bank_receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
 
     Equivalent to vmap(receiver_step) except the FM/SAM PLL runs through the
     bank-wide validity vote (_demod_apply_batch), keeping the parallel
-    locked-loop solve effective under batching.  Probes are not supported
-    here (use the plain vmapped step for probe captures)."""
-    if cfg.probes:
-        raise ValueError("bank_receiver_step does not support cfg.probes")
-    front = jax.vmap(lambda p, s, x: _front(cfg, p, s, x),
-                     in_axes=(0, 0, None if shared_input else 0))
-    nb_c, nco_c, dec_c, ff_c, filt = front(params, state, iq)
+    locked-loop solve effective under batching.  With cfg.probes the taps
+    come back with a leading channel axis (p1/p2/p3 per channel; p4/p5 via
+    the vmapped tail) — the testbench probe methodology (SURVEY.md section
+    4) applied to the whole bank at once."""
+    def front(p, s, x):
+        pr = {} if cfg.probes else None
+        nb_c, nco_c, dec_c, ff_c, filt = _front(cfg, p, s, x, pr)
+        return nb_c, nco_c, dec_c, ff_c, filt, pr
+
+    nb_c, nco_c, dec_c, ff_c, filt, probes = jax.vmap(
+        front, in_axes=(0, 0, None if shared_input else 0))(params, state, iq)
     sm_c, agc_c, leveled = jax.vmap(
         lambda p, s, f: _levels(cfg, p, s, f))(params, state, filt)
+    if cfg.probes:
+        probes["p3_agc"] = leveled
     dm_c, audio = _demod_apply_batch(cfg, params.demod, state.demod, leveled)
+    if cfg.probes:
+        probes["p4_demod"] = audio
+
     sm_c, rs_c, out = jax.vmap(
-        lambda p, s, a, sc: _tail(cfg, p, s, a, sc))(params, state, audio,
-                                                     sm_c)
+        lambda p, s, a, sc: _tail(cfg, p, s, a, sc,
+                                  {} if cfg.probes else None))(
+        params, state, audio, sm_c)
+    if cfg.probes:
+        probes.update(out.probes)
+        out = out._replace(probes=probes)
     new_state = ReceiverState(nco=nco_c, blanker=nb_c, dec=dec_c,
                               chan_filter=ff_c, agc=agc_c, smeter=sm_c,
                               demod=dm_c, resamp=rs_c)
     return new_state, out
 
 
+def split_complex_leaves(tree):
+    """Device-side: complex leaves -> [..., 2] float stacks so nothing
+    complex crosses the device->host boundary (the axon tunnel wedges the
+    whole session on complex64 transfers in EITHER direction — CLAUDE.md)."""
+    def f(a):
+        if a is not None and jnp.iscomplexobj(a):
+            return jnp.stack([a.real, a.imag], axis=-1)
+        return a
+    return jax.tree_util.tree_map(f, tree)
+
+
+def join_complex_pair(a):
+    """Host-side inverse of split_complex_leaves for one leaf that is known
+    to have been complex: [..., 2] float -> complex64 numpy."""
+    import numpy as np
+    a = np.asarray(a)
+    return (a[..., 0] + 1j * a[..., 1]).astype(np.complex64)
+
+
 @dataclass
 class Receiver:
-    """Convenience stateful wrapper: owns params/state, jits the step."""
+    """Convenience stateful wrapper: owns params/state, jits the step.
+
+    Two entry points:
+      * process(iq)      — device/CPU path, complex64 in, StepOutput out
+        (complex leaves stay complex).  Use on CPU or with device-resident
+        arrays.
+      * process_host(iq) — TPU-safe host path: splits the host block into
+        float32 re/im planes (complex64 crossing the host<->device boundary
+        wedges the axon tunnel), forms the complex stream inside jit, and
+        splits any complex outputs (stereo audio, probe taps) into
+        [..., 2] float stacks for transfer; reassemble with
+        join_complex_pair.
+    """
     cfg: ReceiverConfig
     rdtype: Any = jnp.float32
 
@@ -439,9 +577,23 @@ class Receiver:
         self.params, self.state = init(self.cfg, self.rdtype)
         self._step = jax.jit(
             lambda p, s, x: receiver_step(self.cfg, p, s, x))
+        self._step_planes = jax.jit(self._planes_step)
+
+    def _planes_step(self, p, s, re, im):
+        s2, out = receiver_step(self.cfg, p, s, jax.lax.complex(re, im))
+        return s2, split_complex_leaves(out)
 
     def process(self, iq: jax.Array) -> StepOutput:
         self.state, out = self._step(self.params, self.state, iq)
+        return out
+
+    def process_host(self, iq) -> StepOutput:
+        """Process one host block (numpy, any complex dtype).  Complex
+        output leaves come back as [..., 2] float stacks (see class doc)."""
+        import numpy as np
+        re = np.ascontiguousarray(np.real(iq), np.float32)
+        im = np.ascontiguousarray(np.imag(iq), np.float32)
+        self.state, out = self._step_planes(self.params, self.state, re, im)
         return out
 
     # --- live reconfiguration (traced-param updates, no recompile) ---
@@ -492,3 +644,23 @@ class Receiver:
     def set_dc_offset(self, i_off: float, q_off: float) -> None:
         self.params = self.params._replace(dc_offset=jnp.asarray(
             complex(i_off, q_off), self.params.dc_offset.dtype))
+
+    # --- structural reconfiguration (new program, migrated stream state) ---
+    def reconfigure(self, new_cfg: ReceiverConfig,
+                    preserve_gain: bool = True) -> None:
+        """Switch to a new static configuration (mode / rate / filter
+        sizes) without dropping the stream: carries migrate via
+        migrate_state, traced knobs (volume, dc cal) are preserved, and
+        the jitted step is rebuilt (XLA caches per static config, so
+        switching back is compile-free).  The reference's live SetDemod
+        under mutex (dsp/demodulator.cpp:107-157), minus the glitch."""
+        old_cfg, old_state = self.cfg, self.state
+        gain, dc = self.params.audio_gain, self.params.dc_offset
+        self.cfg = new_cfg
+        self.params, fresh = init(new_cfg, self.rdtype)
+        if preserve_gain:
+            self.params = self.params._replace(audio_gain=gain, dc_offset=dc)
+        self.state = migrate_state(old_cfg, old_state, new_cfg, fresh)
+        self._step = jax.jit(
+            lambda p, s, x: receiver_step(self.cfg, p, s, x))
+        self._step_planes = jax.jit(self._planes_step)

@@ -162,7 +162,10 @@ class SpectrumAnalyzer:
 
     def __post_init__(self):
         self.state = init(self.cfg)
-        self._acc = jax.jit(lambda s, x: accumulate(self.cfg, s, x))
+        # host frames go up as f32 re/im planes: complex64 host->device
+        # transfers wedge the axon TPU tunnel (CLAUDE.md)
+        self._acc = jax.jit(lambda s, re, im: accumulate(
+            self.cfg, s, jax.lax.complex(re, im)))
         self._db = jax.jit(lambda s: db_spectrum(self.cfg, s))
         self._pending = np.zeros(0, np.complex64)
         self._skip = max(1, int(self.cfg.sample_rate
@@ -180,7 +183,10 @@ class SpectrumAnalyzer:
             self._skip_count += 1
             if self._skip_count >= self._skip:
                 self._skip_count = 0
-                self.state, ov = self._acc(self.state, jnp.asarray(frame))
+                self.state, ov = self._acc(
+                    self.state,
+                    np.ascontiguousarray(np.real(frame), np.float32),
+                    np.ascontiguousarray(np.imag(frame), np.float32))
                 self.overload = bool(ov)
                 ready = True
         self._pending = buf

@@ -36,12 +36,25 @@ class ReceiverSession:
     spectrum_cfg: Optional[SpectrumConfig] = None
     settings: SessionSettings = field(default_factory=SessionSettings)
     on_spectrum: Optional[Callable[[np.ndarray], None]] = None
+    # dispatch pipelining: with depth D the session keeps up to D-1 steps
+    # in flight and materializes (device->host) one step behind, so the
+    # host decodes/transfers block k+1 while the device computes block k —
+    # the reference's FIFO-decoupled thread handoff
+    # (interface/netiobase.cpp:571-600) via XLA's async dispatch.  depth=1
+    # is fully synchronous (materialize every step immediately).
+    pipeline_depth: int = 2
 
     def __post_init__(self):
         import jax.numpy as jnp
         self._jnp = jnp
         self.receiver = Receiver(self.cfg)
         self.receiver.set_volume(self.settings.volume)
+        # bucketed program cache: one Receiver (compiled step + stream
+        # state donor) per static configuration seen, so mode walks are
+        # compile-free after the first visit (the reference's equivalent is
+        # the per-mode demod objects it can rebuild under mutex,
+        # dsp/demodulator.cpp:107-157)
+        self._receivers: dict = {self._cfg_key(self.cfg): self.receiver}
         if self.spectrum_cfg is None:
             self.spectrum_cfg = SpectrumConfig(
                 fft_size=self.settings.display.fft_size,
@@ -53,6 +66,7 @@ class ReceiverSession:
         self.audio_queue = RateLockedQueue(stereo=self.cfg.stereo)
         self.metrics = StreamMetrics()
         self._pending = np.zeros(0, np.complex64)
+        self._inflight: list = []      # dispatched, not yet materialized
         self._nominal_ratio = (self.cfg.output_rate /
                                (self.cfg.audio_rate or self.cfg.output_rate))
         self._last_correction = 0.0
@@ -65,14 +79,41 @@ class ReceiverSession:
         self.metrics = StreamMetrics()
 
     def stop(self) -> None:
+        self.flush()
         self.running = False
 
     # ------------------------------------------------------------- data ---
+    def _finish(self, out, bs: int) -> None:
+        """Materialize one dispatched step (device->host) and deliver it.
+        (samples_in/blocks were counted at dispatch; here the delivered
+        half: audio, meters, queue accounting.)"""
+        n_aud = int(out.n_audio)
+        audio = np.asarray(out.audio)[:n_aud]
+        self.audio_queue.put_block(
+            np.clip(audio, -32767, 32767).astype(np.int16))
+        self.metrics.audio_samples_out += n_aud
+        self.metrics.smeter_ave_db = float(out.smeter_ave_db)
+        self.metrics.smeter_peak_db = float(out.smeter_peak_db)
+        self.metrics.audio_overflows = self.audio_queue.overflows
+        self.metrics.audio_underflows = self.audio_queue.underflows
+
+    def flush(self) -> int:
+        """Drain all in-flight steps (call before reading final state)."""
+        n = len(self._inflight)
+        for out, bs in self._inflight:
+            self._finish(out, bs)
+        self._inflight.clear()
+        return n
+
     def pump(self, iq: np.ndarray) -> int:
-        """Feed raw IQ samples; returns number of pipeline blocks run."""
+        """Feed raw IQ samples; returns number of pipeline blocks run.
+
+        With pipeline_depth > 1 the newest steps stay in flight (XLA async
+        dispatch) and each call delivers the steps that are at least one
+        behind — the device computes block k while the host decodes and
+        uploads k+1."""
         if not self.running:
             return 0
-        jnp = self._jnp
         buf = np.concatenate([self._pending, np.asarray(iq, np.complex64)])
         bs = self.cfg.block_size
         blocks = 0
@@ -83,20 +124,16 @@ class ReceiverSession:
                 self.on_spectrum(self.analyzer.spectrum_db())
             self.metrics.overload = self.analyzer.overload
 
-            out = self.receiver.process(jnp.asarray(chunk))
-            n_aud = int(out.n_audio)
-            audio = np.asarray(out.audio)[:n_aud]
-            self.audio_queue.put_block(
-                np.clip(audio, -32767, 32767).astype(np.int16)
-                if not np.iscomplexobj(audio) else
-                np.stack([np.clip(audio.real, -32767, 32767),
-                          np.clip(audio.imag, -32767, 32767)],
-                         axis=-1).astype(np.int16))
-            self.metrics.update_block(bs, n_aud,
-                                      float(out.smeter_ave_db),
-                                      float(out.smeter_peak_db))
-            self.metrics.audio_overflows = self.audio_queue.overflows
-            self.metrics.audio_underflows = self.audio_queue.underflows
+            # host-plane path: float32 re/im planes up, float stacks down —
+            # complex64 never crosses the host<->device boundary (the axon
+            # tunnel wedges on it; stereo audio arrives as [cap, 2])
+            out = self.receiver.process_host(chunk)
+            self.metrics.samples_in += bs
+            self.metrics.blocks += 1
+            self._inflight.append((out, bs))
+            while len(self._inflight) >= max(1, self.pipeline_depth):
+                done, dbs = self._inflight.pop(0)
+                self._finish(done, dbs)
             blocks += 1
         self._pending = buf
 
@@ -108,6 +145,92 @@ class ReceiverSession:
             self.receiver.set_resample_ratio(
                 self._nominal_ratio * (1.0 + corr))
         return blocks
+
+    # ----------------------------------------------- mode / rate switches --
+    @staticmethod
+    def _cfg_key(cfg: ReceiverConfig):
+        from dataclasses import astuple
+        return astuple(cfg)
+
+    def _switch_to(self, new_cfg: ReceiverConfig) -> None:
+        """Swap the compiled program and migrate the stream state.
+
+        Pending input samples are kept (re-blocked at the new block size),
+        so nothing is dropped; carries migrate per
+        pipeline.receiver.migrate_state — seamless like the reference's
+        live SetDemod (dsp/demodulator.cpp:107-157)."""
+        from cutesdr_tpu.pipeline.receiver import migrate_state
+        self.flush()                      # deliver in-flight steps first
+        old_cfg, old_state = self.cfg, self.receiver.state
+        key = self._cfg_key(new_cfg)
+        nxt = self._receivers.get(key)
+        if nxt is None:
+            nxt = Receiver(new_cfg)
+            self._receivers[key] = nxt
+        nxt.state = migrate_state(old_cfg, old_state, new_cfg, nxt.state)
+        nxt.params = nxt.params._replace(
+            audio_gain=self.receiver.params.audio_gain,
+            dc_offset=self.receiver.params.dc_offset)
+        self.receiver = nxt
+        self.cfg = new_cfg
+        # traced knobs of a cached program may have drifted (tune / filter /
+        # AGC are params-level): re-pin them to the switch target.  The
+        # user's current tune survives the switch.
+        self.receiver.set_tune_freq(self.current_tune)
+        self.receiver.set_filter(new_cfg.low_cut, new_cfg.hi_cut)
+        self.receiver.set_agc()
+        self.current_low, self.current_hi = new_cfg.low_cut, new_cfg.hi_cut
+        self._nominal_ratio = (new_cfg.output_rate /
+                               (new_cfg.audio_rate or new_cfg.output_rate))
+        if self.cfg.audio_rate:
+            self.receiver.set_resample_ratio(
+                self._nominal_ratio * (1.0 + self._last_correction))
+
+    def set_mode(self, mode: str) -> None:
+        """Live demod-mode change: applies the persisted per-mode settings
+        (the m_DemodSettings[] array) and switches programs without
+        dropping stream samples.  Precompiled modes switch glitch-free;
+        a first visit compiles (cache it ahead with precompile())."""
+        from dataclasses import replace
+        d = self.settings.demod[mode]
+        new_cfg = replace(
+            self.cfg, mode=mode, low_cut=d.low_cut, hi_cut=d.hi_cut,
+            cw_offset=d.offset, squelch_ui=d.squelch_value,
+            agc_on=d.agc_on, agc_hang=d.agc_hang_on,
+            agc_thresh_db=d.agc_thresh, agc_manual_gain_db=d.agc_manual_gain,
+            agc_slope=d.agc_slope, agc_decay_ms=d.agc_decay)
+        self._switch_to(new_cfg)
+        self.settings.demod_mode = mode
+
+    def set_input_rate(self, input_rate: float) -> None:
+        """Live input-sample-rate change (the radio's bandwidth index
+        switch): rebuilds the decimation plan, migrates state, keeps
+        pending samples."""
+        from dataclasses import replace
+        self._switch_to(replace(self.cfg, input_rate=input_rate))
+
+    def precompile(self, modes) -> None:
+        """Warm the program cache for a set of modes (compile ahead so
+        set_mode() is glitch-free on first use)."""
+        from dataclasses import replace
+        for mode in modes:
+            d = self.settings.demod[mode]
+            cfg = replace(
+                self.cfg, mode=mode, low_cut=d.low_cut, hi_cut=d.hi_cut,
+                cw_offset=d.offset, squelch_ui=d.squelch_value,
+                agc_on=d.agc_on, agc_hang=d.agc_hang_on,
+                agc_thresh_db=d.agc_thresh,
+                agc_manual_gain_db=d.agc_manual_gain,
+                agc_slope=d.agc_slope, agc_decay_ms=d.agc_decay)
+            key = self._cfg_key(cfg)
+            if key in self._receivers:
+                continue
+            rx = Receiver(cfg)
+            self._receivers[key] = rx
+            # trace+compile now (throwaway zero block; state unchanged)
+            saved = rx.state
+            rx.process(self._jnp.zeros(cfg.block_size, self._jnp.complex64))
+            rx.state = saved
 
     # ---------------------------------------------------------- controls --
     def tune(self, freq_hz: float) -> None:

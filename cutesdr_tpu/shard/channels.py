@@ -23,17 +23,25 @@ from cutesdr_tpu.pipeline import receiver as rx
 
 
 def _bank_step(cfg: rx.ReceiverConfig, shared_input: bool):
-    """Batched step for a bank.  With probes enabled fall back to plain
-    vmap(receiver_step) (the bank-voted path doesn't thread probe taps);
-    otherwise use bank_receiver_step, whose FM/SAM PLL takes one real
-    lax.cond over the whole bank's validity vote instead of a per-channel
-    cond→select under vmap (which would execute the sequential scan every
-    block even with every channel locked)."""
-    if cfg.probes:
-        return jax.vmap(lambda p, s, x: rx.receiver_step(cfg, p, s, x),
-                        in_axes=(0, 0, None if shared_input else 0))
+    """Batched step for a bank: bank_receiver_step, whose FM/SAM PLL takes
+    one real lax.cond over the whole bank's validity vote instead of a
+    per-channel cond→select under vmap (which would execute the sequential
+    scan every block even with every channel locked).  Probe taps come back
+    with a leading channel axis when cfg.probes is set."""
     return lambda p, s, x: rx.bank_receiver_step(cfg, p, s, x,
                                                  shared_input=shared_input)
+
+
+def _bank_step_planes(cfg: rx.ReceiverConfig, shared_input: bool):
+    """TPU-safe host contract: f32 re/im planes in, complex output leaves
+    split to [..., 2] stacks (complex64 host<->device transfers wedge the
+    axon tunnel — CLAUDE.md)."""
+    base = _bank_step(cfg, shared_input)
+
+    def f(p, s, re, im):
+        s2, out = base(p, s, jax.lax.complex(re, im))
+        return s2, rx.split_complex_leaves(out)
+    return f
 
 
 @dataclass
@@ -67,6 +75,7 @@ class ChannelBank:
 
         cfg = self.cfg
         step = _bank_step(cfg, shared_input=True)
+        planes = _bank_step_planes(cfg, shared_input=True)
         if self.mesh is not None:
             spec = P(self.axis)
             shard = NamedSharding(self.mesh, spec)
@@ -77,8 +86,13 @@ class ChannelBank:
                 step,
                 in_shardings=(shard, shard, rep),
                 out_shardings=(shard, shard))
+            self._step_planes = jax.jit(
+                planes,
+                in_shardings=(shard, shard, rep, rep),
+                out_shardings=(shard, shard))
         else:
             self._step = jax.jit(step)
+            self._step_planes = jax.jit(planes)
 
     @property
     def n_channels(self) -> int:
@@ -87,6 +101,15 @@ class ChannelBank:
     def process(self, iq) -> rx.StepOutput:
         self.state, out = self._step(self.params, self.state,
                                      jnp.asarray(iq))
+        return out
+
+    def process_host(self, iq) -> rx.StepOutput:
+        """Host-plane path (see _bank_step_planes)."""
+        import numpy as np
+        self.state, out = self._step_planes(
+            self.params, self.state,
+            np.ascontiguousarray(np.real(iq), np.float32),
+            np.ascontiguousarray(np.imag(iq), np.float32))
         return out
 
     def set_tune_freqs(self, freqs: Sequence[float]) -> None:
@@ -134,16 +157,30 @@ class StackedReceiver:
 
         cfg = self.cfg
         step = _bank_step(cfg, shared_input=False)
+        planes = _bank_step_planes(cfg, shared_input=False)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(self.axis))
             self.params = jax.device_put(self.params, shard)
             self.state = jax.device_put(self.state, shard)
             self._step = jax.jit(step, in_shardings=(shard, shard, shard),
                                  out_shardings=(shard, shard))
+            self._step_planes = jax.jit(
+                planes, in_shardings=(shard, shard, shard, shard),
+                out_shardings=(shard, shard))
         else:
             self._step = jax.jit(step)
+            self._step_planes = jax.jit(planes)
 
     def process(self, iq_stack) -> rx.StepOutput:
         self.state, out = self._step(self.params, self.state,
                                      jnp.asarray(iq_stack))
+        return out
+
+    def process_host(self, iq_stack) -> rx.StepOutput:
+        """Host-plane path (see _bank_step_planes)."""
+        import numpy as np
+        self.state, out = self._step_planes(
+            self.params, self.state,
+            np.ascontiguousarray(np.real(iq_stack), np.float32),
+            np.ascontiguousarray(np.imag(iq_stack), np.float32))
         return out

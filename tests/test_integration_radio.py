@@ -120,10 +120,13 @@ def test_fake_radio_to_audio():
         assert client.device_name == "NetSDR"
         client.start()
         # stream 40*256 = 10240 samples < block... need more packets; loop
-        for _ in range(10):
+        # (poll for DELIVERED audio — with pipeline_depth=2 the newest
+        # step stays in flight until the next block lands)
+        for _ in range(12):
             await asyncio.sleep(0.15)
-            if sess.metrics.blocks >= 1:
+            if sess.metrics.audio_samples_out > 0:
                 break
+        sess.flush()
         await client.close()
         await radio.stop()
         return sess, client

@@ -80,6 +80,43 @@ def test_choose_fastfir_sizes_runs_end_to_end():
     assert abs(f_pk - 1000.0) < 2 * tuned.output_rate / len(a)
 
 
+def test_ten_ms_operating_point_golden():
+    """The reference's ~10 ms operating point (dsp/demodulator.cpp:145-146),
+    which `cli run/serve` now apply by default: the auto-chosen filter must
+    meet the latency target AND still hold the passband/stopband/SNR specs
+    — a tone in the passband dominates the audio, a tone 3.2 kHz past the
+    high edge is rejected >= 60 dB."""
+    base = ReceiverConfig(input_rate=2_000_000.0, mode="usb",
+                          low_cut=100.0, hi_cut=2800.0, agc_on=False,
+                          tune_freq=100_000.0, audio_rate=None)
+    cfg = choose_fastfir_sizes(base, 10e-3)
+    assert latency_report(cfg)["total"] <= 10e-3
+    assert cfg.fastfir_nfft < 2048            # actually shrank
+
+    from cutesdr_tpu.testbench.generators import tone
+
+    def audio_power(f_offset_hz, nblocks=6):
+        rx = Receiver(cfg)
+        x = tone(cfg.block_size * nblocks, 100_000.0 + f_offset_hz,
+                 cfg.input_rate, power_db=-20.0)
+        audio = np.concatenate(
+            [np.asarray(rx.process(jnp.asarray(b, jnp.complex64)).audio)
+             for b in np.split(x, nblocks)])
+        a = audio[len(audio) // 3:]
+        return float(np.mean(a ** 2) + 1e-30), a
+
+    p_pass, a_pass = audio_power(1500.0)
+    p_stop, _ = audio_power(6000.0)
+    # stopband rejection
+    assert 10 * np.log10(p_stop / p_pass) < -60.0
+    # passband tone SNR: the 1.5 kHz tone dominates its own audio
+    spec = np.abs(np.fft.rfft(a_pass * np.hanning(len(a_pass)))) ** 2
+    f = np.fft.rfftfreq(len(a_pass), 1.0 / cfg.output_rate)
+    tone_bins = np.abs(f - 1500.0) <= 12 * cfg.output_rate / len(a_pass)
+    snr = 10 * np.log10(spec[tone_bins].sum() / spec[~tone_bins].sum())
+    assert snr > 40.0, snr
+
+
 def test_choose_fastfir_sizes_unreachable_target_raises():
     cfg = ReceiverConfig(input_rate=100_000.0, mode="usb")
     with pytest.raises(ValueError, match="unreachable"):

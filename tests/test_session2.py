@@ -21,6 +21,7 @@ def test_session_end_to_end():
     # pump in odd-sized chunks to exercise re-blocking
     for chunk in np.array_split(x, 7):
         sess.pump(chunk)
+    sess.flush()      # deliver in-flight pipelined steps (pipeline_depth=2)
 
     assert sess.metrics.blocks == 4
     assert sess.metrics.samples_in == cfg.block_size * 4
@@ -48,6 +49,7 @@ def test_session_tune_and_volume():
     sess.set_volume(0)
     x = tone(cfg.block_size, 121_000.0, cfg.input_rate, -20.0)
     sess.pump(x)
+    sess.flush()
     # muted: queue only zeros
     level = sess.audio_queue.level
     assert level > 0
