@@ -62,7 +62,9 @@ _TWO32 = 4294967296.0
 class TimeShardCarry(NamedTuple):
     """Replicated carries of the sharded front-end (device-0 halos)."""
     nco_base: jax.Array     # uint32 phase accumulator at superblock start
-    in_tail: jax.Array      # [len(H_eq)-1-d] mixed-sample halo for device 0
+    in_tail: jax.Array      # decimator halo for device 0: mixed samples of
+                            # length len(H_eq)-1-d (fused) or raw samples of
+                            # length halo_rows*128 (pallas mixdec)
     dec_tail: jax.Array     # [NFIR-1] decimated-sample halo for device 0
     nb_tail: Any = None     # raw-sample halo for the noise blanker (if on)
 
@@ -76,7 +78,13 @@ def _replicated_at_zero(i, recv, axis):
 def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
                       params: rx.ReceiverParams, carry: TimeShardCarry,
                       x_local: jax.Array):
-    """Per-device front end (runs inside shard_map).  x_local: [S]."""
+    """Per-device front end (runs inside shard_map).  x_local: [S].
+
+    With cfg.probes the front-end taps (p1 decimated, p2 filtered, p7
+    blanker) are all_gathered to full streams so the testbench probe
+    methodology covers the sharded configuration (round-1 VERDICT item 9);
+    p3–p5 come from the replicated back_end as usual."""
+    probes = {} if cfg.probes else None
     i = lax.axis_index(axis)
     S = x_local.shape[-1]
     ring = [(j, (j + 1) % n_dev) for j in range(n_dev)]
@@ -93,27 +101,53 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
         x_local = noiseblanker.process_with_history(
             nb_cfg, jnp.concatenate([halo_nb, x_local], axis=-1), S)
         new_nb_tail = _replicated_at_zero(i, recv_nb, axis)
+        if probes is not None:
+            probes["p7_blanker"] = lax.all_gather(x_local, axis, tiled=True)
     else:
         new_nb_tail = carry.nb_tail
 
     x_local = x_local - params.dc_offset
 
-    # --- NCO: exact global phase from the shard index ---
-    k = lax.iota(jnp.uint32, S)
-    acc = (carry.nco_base
-           + (i.astype(jnp.uint32) * jnp.uint32(S) + k) * params.nco.phase_inc)
-    ang = acc.astype(rdtype) * jnp.asarray(K_2PI / _TWO32, rdtype)
-    mixed = x_local * lax.complex(jnp.cos(ang), jnp.sin(ang))
+    if cfg.decimator_impl == "pallas":
+        # fused NCO-mix + polyphase decimation in one Pallas kernel.  The
+        # halo is RAW (pre-mix) input — the kernel owns the oscillator and
+        # back-dates phases into the halo via uint32 wraparound — so the
+        # shard offset is absorbed by programming each device's phase_base
+        # to nco_base + i*S*phase_inc (kernels/mixdec.py; the closed-form
+        # offset mirrors the XLA path below).
+        from cutesdr_tpu.kernels.mixdec import MixDecCarry
+        from cutesdr_tpu.pipeline.receiver import _make_mixdec
+        md = _make_mixdec(cfg)
+        h_in = carry.in_tail.shape[-1]
+        tail = x_local[..., S - h_in:]
+        recv = lax.ppermute(tail, axis, ring)
+        halo = jnp.where(i == 0, carry.in_tail, recv)
+        base_i = (carry.nco_base
+                  + i.astype(jnp.uint32) * jnp.uint32(S) * params.dec.phase_inc)
+        _, y_dec = md(params.dec,
+                      MixDecCarry(raw_tail=halo, phase_base=base_i), x_local)
+        new_in_tail = _replicated_at_zero(i, recv, axis)
+    else:
+        # --- NCO: exact global phase from the shard index ---
+        k = lax.iota(jnp.uint32, S)
+        acc = (carry.nco_base
+               + (i.astype(jnp.uint32) * jnp.uint32(S) + k)
+               * params.nco.phase_inc)
+        ang = acc.astype(rdtype) * jnp.asarray(K_2PI / _TWO32, rdtype)
+        mixed = x_local * lax.complex(jnp.cos(ang), jnp.sin(ang))
 
-    # --- decimator halo exchange (input rate) ---
-    h_in = carry.in_tail.shape[-1]
-    tail = mixed[..., S - h_in:]
-    recv = lax.ppermute(tail, axis, ring)
-    halo = jnp.where(i == 0, carry.in_tail, recv)
-    z = jnp.concatenate([halo, mixed], axis=-1)
-    y_dec = complex_strided_corr(z, params.dec.h_eq[::-1],
-                                 stride=cfg.plan.decimation)
-    new_in_tail = _replicated_at_zero(i, recv, axis)
+        # --- decimator halo exchange (input rate) ---
+        h_in = carry.in_tail.shape[-1]
+        tail = mixed[..., S - h_in:]
+        recv = lax.ppermute(tail, axis, ring)
+        halo = jnp.where(i == 0, carry.in_tail, recv)
+        z = jnp.concatenate([halo, mixed], axis=-1)
+        y_dec = complex_strided_corr(z, params.dec.h_eq[::-1],
+                                     stride=cfg.plan.decimation)
+        new_in_tail = _replicated_at_zero(i, recv, axis)
+
+    if probes is not None:
+        probes["p1_downconvert"] = lax.all_gather(y_dec, axis, tiled=True)
 
     # --- channel-filter halo exchange (decimated rate) ---
     nd = y_dec.shape[-1]
@@ -127,7 +161,9 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
 
     # --- gather the (audio-rate) filtered stream to every device ---
     y_all = lax.all_gather(y_filt, axis, tiled=True)
-    return y_all, new_in_tail, new_dec_tail, new_nb_tail
+    if probes is not None:
+        probes["p2_fastfir"] = y_all
+    return y_all, new_in_tail, new_dec_tail, new_nb_tail, probes
 
 
 @dataclass
@@ -144,22 +180,34 @@ class ShardedReceiver:
     rdtype: Any = jnp.float32
 
     def __post_init__(self):
-        if self.cfg.decimator_impl != "fused":
-            raise ValueError("sharded receiver requires the fused decimator")
+        if self.cfg.decimator_impl not in ("fused", "pallas"):
+            raise ValueError("sharded receiver requires the fused decimator "
+                             "or the pallas mixdec kernel")
+        if self.cfg.fastfir_impl != "xla":
+            raise ValueError("sharded receiver requires fastfir_impl='xla' "
+                             "(the channel filter runs via filter_frames on "
+                             "the halo'd buffer)")
         self.n_dev = self.mesh.shape[self.axis]
         self.params, state = rx.init(self.cfg, self.rdtype)
         self.state = state
+        # decimator halo: mixed-sample tail (fused) / raw-sample tail (pallas)
+        if self.cfg.decimator_impl == "pallas":
+            in_tail = state.dec.raw_tail
+            nco_base0 = state.dec.phase_base
+        else:
+            in_tail = state.dec.tail
+            nco_base0 = state.nco.phase_acc
         if self.cfg.nb_on:
             nb_cfg = noiseblanker.BlankerConfig(
                 self.cfg.nb_on, self.cfg.nb_threshold, self.cfg.nb_width_us,
                 self.cfg.input_rate)
             nb_tail = jnp.zeros(noiseblanker.history_len(nb_cfg),
-                                state.dec.tail.dtype)
+                                in_tail.dtype)
         else:
-            nb_tail = jnp.zeros((0,), state.dec.tail.dtype)
+            nb_tail = jnp.zeros((0,), in_tail.dtype)
         self.ts_carry = TimeShardCarry(
-            nco_base=state.nco.phase_acc,
-            in_tail=state.dec.tail,
+            nco_base=nco_base0,
+            in_tail=in_tail,
             dec_tail=state.chan_filter.tail,
             nb_tail=nb_tail)
         cfg, n_dev, axis, mesh = self.cfg, self.n_dev, self.axis, self.mesh
@@ -169,11 +217,13 @@ class ShardedReceiver:
                 lambda p, c, xs: front_end_sharded(cfg, n_dev, axis, p, c, xs),
                 mesh,
                 in_specs=(P(), P(), P(axis)),
-                out_specs=(P(), P(), P(), P()))
-            y_all, in_tail, dec_tail, nb_tail = front(params, ts_carry, x)
+                out_specs=(P(), P(), P(), P(), P()))
+            y_all, in_tail, dec_tail, nb_tail, probes = front(params,
+                                                              ts_carry, x)
             sm_c, agc_c, dm_c, rs_c, out = rx.back_end(cfg, params, state,
-                                                       y_all)
-            inc = params.nco.phase_inc
+                                                       y_all, probes=probes)
+            inc = (params.dec.phase_inc if cfg.decimator_impl == "pallas"
+                   else params.nco.phase_inc)
             new_ts = TimeShardCarry(
                 nco_base=ts_carry.nco_base
                 + jnp.uint32(n_dev * cfg.block_size) * inc,
@@ -183,6 +233,13 @@ class ShardedReceiver:
             return new_state, new_ts, out
 
         self._step = jax.jit(step)
+
+        def step_planes(params, state, ts_carry, re, im):
+            new_state, new_ts, out = step(params, state, ts_carry,
+                                          lax.complex(re, im))
+            return new_state, new_ts, rx.split_complex_leaves(out)
+
+        self._step_planes = jax.jit(step_planes)
         self._x_sharding = NamedSharding(mesh, P(self.axis))
 
     @property
@@ -199,6 +256,20 @@ class ShardedReceiver:
             iq = jax.device_put(iq, self._x_sharding)
         self.state, self.ts_carry, out = self._step(
             self.params, self.state, self.ts_carry, iq)
+        return out
+
+    def process_host(self, iq) -> rx.StepOutput:
+        """TPU-safe host path: the superblock crosses the host->device
+        boundary as float32 re/im planes (complex64 transfers wedge the
+        axon tunnel — CLAUDE.md) and complex output leaves come back as
+        [..., 2] float stacks (rx.join_complex_pair reassembles)."""
+        import numpy as np
+        re = jax.device_put(np.ascontiguousarray(np.real(iq), np.float32),
+                            self._x_sharding)
+        im = jax.device_put(np.ascontiguousarray(np.imag(iq), np.float32),
+                            self._x_sharding)
+        self.state, self.ts_carry, out = self._step_planes(
+            self.params, self.state, self.ts_carry, re, im)
         return out
 
     def host_stream(self):

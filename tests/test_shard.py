@@ -114,6 +114,36 @@ def test_channel_bank_sharded_matches_unsharded():
                                np.asarray(out_u.audio), atol=1e-5 * scale)
 
 
+def test_timeshard_pallas_mixdec_matches_single_chip():
+    """The Pallas fused mix+decimate kernel inside the time-sharded
+    receiver (raw-sample halos, per-shard phase_base offset) must match the
+    single-chip receiver — lifting round-1's decimator_impl=='fused'
+    restriction so the kernel's front-end win survives sharding
+    (kernels/mixdec.py; interpret mode on the CPU mesh)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=20_000.0, audio_rate=48000.0,
+                         decimator_impl="pallas", pallas_interpret=True)
+    n_dev = 4
+    mesh = make_mesh(time=n_dev)
+    x = _stream(cfg, 2, n_dev)
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+    for sb in range(2):
+        xs = x[sb * srx.superblock_size:(sb + 1) * srx.superblock_size]
+        out_s = srx.process(jnp.asarray(xs, C64))
+        audio_s = np.asarray(out_s.audio)[:int(out_s.n_audio)]
+        ref_audio = []
+        for b in range(n_dev):
+            o = rx.process(jnp.asarray(
+                xs[b * cfg.block_size:(b + 1) * cfg.block_size], C64))
+            ref_audio.append(np.asarray(o.audio)[:int(o.n_audio)])
+        ref_audio = np.concatenate(ref_audio)
+        assert len(audio_s) == len(ref_audio)
+        scale = max(np.abs(ref_audio).max(), 1e-6)
+        np.testing.assert_allclose(audio_s, ref_audio, atol=5e-4 * scale)
+
+
 def test_timeshard_with_noise_blanker(rng):
     """Blanker in sharded mode (raw-history halos) matches single chip."""
     cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
@@ -140,6 +170,52 @@ def test_timeshard_with_noise_blanker(rng):
     got, want = np.concatenate(got), np.concatenate(want)
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-3 * scale)
+
+
+def test_channel_bank_probes():
+    """bank_receiver_step threads the testbench probe taps with a leading
+    channel axis (round-1 VERDICT item 9)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb", audio_rate=None,
+                         agc_on=False, probes=True)
+    freqs = [10_000.0, 120_000.0]
+    bank = ChannelBank(cfg, freqs)
+    x = tone(cfg.block_size, 120_000.0 + 1000.0, cfg.input_rate, -20.0)
+    out = bank.process(jnp.asarray(x, C64))
+    n_dec = cfg.block_size // cfg.plan.decimation
+    for key in ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod"):
+        assert out.probes[key].shape[:2] == (2, n_dec), key
+    # the tone sits on channel 1's passband: its p2 power dominates
+    p2 = np.asarray(out.probes["p2_fastfir"])
+    pw = np.mean(np.abs(p2) ** 2, axis=1)
+    assert pw[1] > 100 * pw[0]
+
+
+def test_timeshard_probes_match_single_chip():
+    """Sharded probe taps (all_gathered per-shard streams) equal the
+    single-chip probe captures block for block."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=20_000.0, audio_rate=None, agc_on=False,
+                         probes=True)
+    n_dev = 4
+    mesh = make_mesh(time=n_dev)
+    x = _stream(cfg, 1, n_dev)
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+    out_s = srx.process(jnp.asarray(x, C64))
+    p1_ref, p2_ref = [], []
+    for b in range(n_dev):
+        o = rx.process(jnp.asarray(
+            x[b * cfg.block_size:(b + 1) * cfg.block_size], C64))
+        p1_ref.append(np.asarray(o.probes["p1_downconvert"]))
+        p2_ref.append(np.asarray(o.probes["p2_fastfir"]))
+    p1_ref, p2_ref = np.concatenate(p1_ref), np.concatenate(p2_ref)
+    for key, ref in (("p1_downconvert", p1_ref), ("p2_fastfir", p2_ref)):
+        got = np.asarray(out_s.probes[key])
+        assert got.shape == ref.shape, key
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=5e-4 * scale,
+                                   err_msg=key)
 
 
 def test_stacked_receiver_dual_channel():
