@@ -66,10 +66,20 @@ def main(argv=None):
 
     def report(name, seconds, bytes_moved, note=""):
         gbs = bytes_moved / seconds / 1e9
+        frac = gbs / args.peak_gbs
         r = {"op": name, "ms": round(seconds * 1e3, 3),
              "GBps": round(gbs, 1),
-             "bw_fraction": round(gbs / args.peak_gbs, 3),
+             "bw_fraction": round(frac, 3),
              "gsps": round(n / seconds / 1e9, 2), "note": note}
+        if frac > 1.0:
+            # physically impossible -> the ~25 us tunnel dispatch floor
+            # swallowed the memory time; record that IN the artifact so a
+            # consumer of the JSON isn't misled (CLAUDE.md tunnel caveat)
+            r["trustworthy"] = False
+            r["note"] = (r["note"] + "; " if r["note"] else "") + (
+                "bw_fraction > 1 is impossible: timing is dispatch-floored "
+                "through the remote tunnel — roofline claims need a "
+                "directly-attached chip")
         results.append(r)
         print(json.dumps(r), flush=True)
 
