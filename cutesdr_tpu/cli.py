@@ -322,7 +322,8 @@ def cmd_serve(args) -> int:
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=float(sess.smeter_db[sess.monitor]),
-            channels=sess.channel_info())
+            channels=sess.channel_info(),
+            overload=sess.analyzer.overload)
     else:
         sess = ReceiverSession(cfg)
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
@@ -331,7 +332,8 @@ def cmd_serve(args) -> int:
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
         sess.on_spectrum = lambda db: srv.update(
-            db, smeter_db=sess.metrics.smeter_ave_db)
+            db, smeter_db=sess.metrics.smeter_ave_db,
+            overload=sess.metrics.overload)
     source = _make_source(args, cfg.block_size)
     speaker = None
     if args.audio:

@@ -8,6 +8,19 @@ canvas page; spectrum frames are *pushed* over Server-Sent Events (GET
 /spectrum.json kept as a pull fallback.  Tune clicks and filter-edge drags
 POST back to the session; the bin→pixel max-hold mapping runs on-device
 (pipeline/spectrum.screen_map), the page just draws rows.
+
+Display controls (all client-side, mirroring the reference's display
+dialog + plotter knobs):
+  * waterfall palette — the reference's 256-entry blue→cyan→green→yellow→
+    red→pink ramp (color-table data from gui/plotter.cpp:70-83) plus a
+    grayscale alternative;
+  * max/min dB range (m_MaxdB / m_MindB, gui/plotter.cpp:101-102);
+  * span zoom (m_Span, gui/plotter.h:41) — zoomed views center on the
+    demod tune frequency (divergence: the reference centers on the LO);
+  * 2D/waterfall screen split (SetPercent2DScreen, gui/plotter.h:35);
+  * A/D-overload turns the 2D trace red (gui/plotter.cpp:458-468);
+  * per-channel mini-waterfalls in the bank table (no reference analogue —
+    the bank itself has none).
 """
 
 from __future__ import annotations
@@ -23,8 +36,21 @@ _PAGE = """<!DOCTYPE html>
 body{background:#111;color:#ddd;font-family:monospace;margin:12px}
 canvas{display:block;margin-top:4px;image-rendering:pixelated}
 #bar{margin:6px 0}
+#ctl{margin:4px 0;color:#9ab}
+#ctl input,#ctl select{background:#222;color:#ddd;border:1px solid #555}
+#ctl input[type=number]{width:4.5em}
 </style></head><body>
 <div id="bar">cutesdr-tpu — <span id="status">connecting…</span></div>
+<div id="ctl">
+ max dB <input id="maxdb" type="number" value="0" step="5">
+ min dB <input id="mindb" type="number" value="-120" step="5">
+ zoom <select id="zoom"><option>1</option><option>2</option><option>4</option>
+   <option>8</option><option>16</option><option>32</option></select>
+ palette <select id="pal"><option value="cute">cuteSDR</option>
+   <option value="gray">grayscale</option></select>
+ 2D <input id="split" type="range" min="10" max="90" value="40"
+   style="width:90px;vertical-align:middle"> wfall
+</div>
 <canvas id="spec" width="1024" height="200"></canvas>
 <canvas id="wf" width="1024" height="300"></canvas>
 <table id="chlist" style="border-collapse:collapse;margin-top:6px"></table>
@@ -33,24 +59,66 @@ const spec = document.getElementById('spec'), wf = document.getElementById('wf')
 const sctx = spec.getContext('2d'), wctx = wf.getContext('2d');
 let view = {tune_hz:0, low_hz:-5000, hi_hz:5000, symmetric:false,
             sample_rate:2e6, min_db:-120, max_db:0};
-function color(v){ // 0..1 -> waterfall palette
-  const t=Math.max(0,Math.min(1,v));
-  const r=Math.floor(255*Math.min(1,t*3-1.2>0?t*3-1.2:0));
-  const g=Math.floor(255*Math.min(1,t*2.5-0.5>0?t*2.5-0.5:0));
-  const b=Math.floor(255*Math.min(1,t*3));
-  return [r,g,b];
+// display controls (reference: displaydlg + CPlotter knobs)
+let maxdb = 0, mindb = -120, zoom = 1, pct2d = 40;
+const TOTAL_H = 500;
+let lastFrame = null;
+function makePalette(name){
+  // 256-entry color ramp; 'cute' is the reference's waterfall color-table
+  // data (gui/plotter.cpp:70-83): blue -> cyan -> green -> yellow -> red -> pink
+  const t = [];
+  for (let i = 0; i < 256; i++){
+    let r = 0, g = 0, b = 0;
+    if (name === 'gray'){ r = g = b = i; }
+    else if (i < 43)      { b = 255*i/43; }
+    else if (i < 87)      { g = 255*(i-43)/43; b = 255; }
+    else if (i < 120)     { g = 255; b = 255 - 255*(i-87)/32; }
+    else if (i < 154)     { r = 255*(i-120)/33; g = 255; }
+    else if (i < 217)     { r = 255; g = 255 - 255*(i-154)/62; }
+    else                  { r = 255; b = 128*(i-217)/38; }
+    t.push([r|0, g|0, b|0]);
+  }
+  return t;
 }
-const fx = f => (f/view.sample_rate + 0.5) * spec.width;   // freq -> px
-const xf = x => (x/spec.width - 0.5) * view.sample_rate;   // px -> freq
+let palette = makePalette('cute');
+function palColor(v){ // 0..1 -> rgb
+  return palette[Math.max(0, Math.min(255, Math.floor(v*255)))];
+}
+// span zoom: the displayed window is sample_rate/zoom wide, centered on the
+// tune frequency (clamped inside the digitized band; the reference's m_Span,
+// centered on the LO — see module docstring for the divergence note)
+const spanHz = () => view.sample_rate / zoom;
+function spanCenter(){
+  if (zoom === 1) return 0;
+  const lim = (view.sample_rate - spanHz()) / 2;
+  return Math.max(-lim, Math.min(lim, view.tune_hz));
+}
+const fx = f => ((f - spanCenter())/spanHz() + 0.5) * spec.width; // freq->px
+const xf = x => (x/spec.width - 0.5) * spanHz() + spanCenter();   // px->freq
+function binsForPx(x, n){  // pixel column -> [i0, i1) fft-bin range, max-hold
+  const sr = view.sample_rate;
+  const f0 = xf(x), f1 = xf(x + 1);
+  let i0 = Math.floor((f0/sr + 0.5) * n), i1 = Math.ceil((f1/sr + 0.5) * n);
+  i0 = Math.max(0, Math.min(n - 1, i0));
+  i1 = Math.max(i0 + 1, Math.min(n, i1));
+  return [i0, i1];
+}
+function pxDb(d, x){
+  const [i0, i1] = binsForPx(x, d.db.length);
+  let m = -1e9;
+  for (let i = i0; i < i1; i++) if (d.db[i] > m) m = d.db[i];
+  return m;
+}
 function drawFrame(d){
+  lastFrame = d;
   Object.assign(view, {tune_hz:d.tune_hz, low_hz:d.low_hz, hi_hz:d.hi_hz,
-    symmetric:d.symmetric, sample_rate:d.sample_rate,
-    min_db:d.min_db, max_db:d.max_db});
+    symmetric:d.symmetric, sample_rate:d.sample_rate});
   document.getElementById('status').textContent =
     `fs=${d.sample_rate} Hz  tune=${(d.tune_hz/1e3).toFixed(3)} kHz  `+
     `filter ${d.low_hz}..${d.hi_hz} Hz  `+
-    `S-meter=${d.smeter_db?.toFixed(1)??'n/a'} dB`;
-  const n = d.db.length, W = spec.width, H = spec.height;
+    `S-meter=${d.smeter_db?.toFixed(1)??'n/a'} dB`+
+    (d.overload ? '  [A/D OVERLOAD]' : '');
+  const W = spec.width, H = spec.height;
   sctx.fillStyle='#111'; sctx.fillRect(0,0,W,H);
   // demod passband shading + edge/center markers
   const x0 = fx(d.tune_hz + d.low_hz), x1 = fx(d.tune_hz + d.hi_hz);
@@ -60,10 +128,11 @@ function drawFrame(d){
   sctx.strokeStyle='rgba(120,200,255,0.8)';
   for (const xe of [x0,x1]) { sctx.beginPath();
     sctx.moveTo(xe,0); sctx.lineTo(xe,H); sctx.stroke(); }
-  sctx.strokeStyle='#4cf'; sctx.beginPath();
+  // overload turns the trace red (gui/plotter.cpp:458-468)
+  sctx.strokeStyle = d.overload ? '#f33' : '#4cf';
+  sctx.beginPath();
   for(let x=0;x<W;x++){
-    const i=Math.floor(x*n/W);
-    const y=(1-(d.db[i]-d.min_db)/(d.max_db-d.min_db))*H;
+    const y=(1-(pxDb(d,x)-mindb)/(maxdb-mindb))*H;
     if(x===0)sctx.moveTo(x,y);else sctx.lineTo(x,y);
   }
   sctx.stroke();
@@ -76,46 +145,92 @@ function drawFrame(d){
       sctx.fillStyle = sctx.strokeStyle;
       sctx.fillText(String(c.id), x+2, 10);
     }
-    const tbl = document.getElementById('chlist');
-    tbl.innerHTML = '<tr><th>ch</th><th>freq kHz</th><th>S dB</th>'+
-      '<th>audio</th></tr>' +
-      d.channels.map(c =>
-        `<tr data-ch="${c.id}" style="cursor:pointer;${c.monitor?
-          'color:#fc0':''}"><td>${c.id}${c.monitor?' ♪':''}</td>`+
-        `<td>${(c.tune_hz/1e3).toFixed(3)}</td>`+
-        `<td>${c.smeter_db.toFixed(1)}</td>`+
-        `<td><canvas class="mini" data-ch="${c.id}" width="96" height="16">`+
-        `</canvas></td></tr>`).join('');
-    for (const row of tbl.querySelectorAll('tr[data-ch]'))
-      row.onclick = () => post('/select', {channel:+row.dataset.ch});
-    for (const cv of tbl.querySelectorAll('canvas.mini')) {
-      const c = d.channels[+cv.dataset.ch];
-      if (!c.spec) continue;
-      const g = cv.getContext('2d'), W = cv.width, H = cv.height;
-      g.fillStyle = '#222'; g.fillRect(0, 0, W, H);
-      g.fillStyle = c.monitor ? '#fc0' : '#4cf';
-      const bw = W / c.spec.length;
-      c.spec.forEach((v, i) => {
-        const h = Math.max(1, (v + 100) / 100 * H);   // -100..0 dB scale
-        g.fillRect(i * bw, H - h, Math.max(1, bw - 1), h);
-      });
-    }
+    updateChannels(d.channels);
   }
-  const img = wctx.getImageData(0,0,wf.width,wf.height-1);
-  wctx.putImageData(img,0,1);
+  if (wf.height > 1) {
+    const img = wctx.getImageData(0,0,wf.width,wf.height-1);
+    wctx.putImageData(img,0,1);
+  }
   const row = wctx.createImageData(wf.width,1);
   for(let x=0;x<wf.width;x++){
-    const i=Math.floor(x*n/wf.width);
-    const v=(d.db[i]-d.min_db)/(d.max_db-d.min_db);
-    const [r,g,b]=color(v);
+    const v=(pxDb(d,x)-mindb)/(maxdb-mindb);
+    const [r,g,b]=palColor(v);
     row.data[4*x]=r; row.data[4*x+1]=g; row.data[4*x+2]=b; row.data[4*x+3]=255;
   }
   wctx.putImageData(row,0,0);
 }
+// channel table with persistent rows so the per-channel mini-waterfalls
+// scroll instead of being rebuilt every frame
+const chRows = new Map();
+function updateChannels(chs){
+  const tbl = document.getElementById('chlist');
+  const ids = chs.map(c=>c.id).join();
+  if (tbl.dataset.ids !== ids){
+    tbl.dataset.ids = ids; chRows.clear();
+    tbl.innerHTML = '<tr><th>ch</th><th>freq kHz</th><th>S dB</th>'+
+      '<th>audio</th></tr>';
+    for (const c of chs){
+      const tr = document.createElement('tr');
+      tr.style.cursor = 'pointer';
+      tr.innerHTML = '<td></td><td></td><td></td>'+
+        '<td><canvas width="96" height="24"></canvas></td>';
+      tr.onclick = () => post('/select', {channel:c.id});
+      tbl.appendChild(tr);
+      chRows.set(c.id, tr);
+    }
+  }
+  for (const c of chs){
+    const tr = chRows.get(c.id); if (!tr) continue;
+    tr.style.color = c.monitor ? '#fc0' : '';
+    tr.children[0].textContent = c.id + (c.monitor ? ' ♪' : '');
+    tr.children[1].textContent = (c.tune_hz/1e3).toFixed(3);
+    tr.children[2].textContent = c.smeter_db.toFixed(1);
+    if (!c.spec) continue;
+    const cv = tr.querySelector('canvas'), g = cv.getContext('2d');
+    const img = g.getImageData(0, 0, cv.width, cv.height-1);
+    g.putImageData(img, 0, 1);                    // scroll mini-waterfall
+    const row = g.createImageData(cv.width, 1);
+    for (let x = 0; x < cv.width; x++){
+      const v = (c.spec[Math.floor(x*c.spec.length/cv.width)] + 100) / 100;
+      const [r, gg, b] = palColor(v);
+      row.data[4*x]=r; row.data[4*x+1]=gg; row.data[4*x+2]=b;
+      row.data[4*x+3]=255;
+    }
+    g.putImageData(row, 0, 0);
+  }
+}
+// control wiring
+function applySplit(){
+  spec.height = Math.max(1, Math.round(TOTAL_H*pct2d/100));
+  wf.height = TOTAL_H - spec.height;
+  if (lastFrame) drawFrame(lastFrame);
+}
+document.getElementById('maxdb').onchange = e => {
+  maxdb = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
+document.getElementById('mindb').onchange = e => {
+  mindb = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
+document.getElementById('zoom').onchange = e => {
+  zoom = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
+document.getElementById('pal').onchange = e => {
+  palette = makePalette(e.target.value);
+  if (lastFrame) drawFrame(lastFrame); };
+document.getElementById('split').oninput = e => {
+  pct2d = +e.target.value; applySplit(); };
+applySplit();
 // --- push channel (SSE), with poll fallback ---
+let gotFirst = false;
 function connect(){
   const es = new EventSource('/events');
-  es.onmessage = ev => drawFrame(JSON.parse(ev.data));
+  es.onmessage = ev => {
+    const d = JSON.parse(ev.data);
+    if (!gotFirst){       // adopt the server's configured dB range once
+      gotFirst = true;
+      maxdb = d.max_db; mindb = d.min_db;
+      document.getElementById('maxdb').value = maxdb;
+      document.getElementById('mindb').value = mindb;
+    }
+    drawFrame(d);
+  };
   es.onerror = () => { es.close();
     document.getElementById('status').textContent='reconnecting…';
     setTimeout(connect, 1000); };
@@ -176,6 +291,7 @@ class SpectrumServer:
                  on_select=None):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
+        self._overload = False
         self._channels: list[dict] = []
         self.on_select = on_select
         self._cond = threading.Condition()
@@ -282,6 +398,7 @@ class SpectrumServer:
             "sample_rate": self.sample_rate,
             "min_db": self.min_db, "max_db": self.max_db,
             "smeter_db": self._smeter,
+            "overload": self._overload,
             **self.view,
         }
         if self._channels:
@@ -293,10 +410,12 @@ class SpectrumServer:
         return self
 
     def update(self, db: np.ndarray, smeter_db: float | None = None,
-               channels: list[dict] | None = None) -> None:
+               channels: list[dict] | None = None,
+               overload: bool = False) -> None:
         with self._cond:
             self._db = np.asarray(db, np.float32)
             self._smeter = None if smeter_db is None else float(smeter_db)
+            self._overload = bool(overload)
             if channels is not None:
                 self._channels = channels
             self._seq += 1
