@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cutesdr_tpu.design.fastfir_design import design_fastfir
+from cutesdr_tpu.types import complex_zeros
 
 N = 2048
 N1 = 128          # outer DFT size (lane dimension)
@@ -147,7 +148,7 @@ class FastFirFourStep:
         self.params = FastFir4Params(h2=jnp.asarray(_permute_h(h)))
 
     def init_carry(self) -> FastFir4Carry:
-        return FastFir4Carry(tail=jnp.zeros(TAIL, jnp.complex64))
+        return FastFir4Carry(tail=complex_zeros(TAIL, jnp.complex64))
 
     def __call__(self, params: FastFir4Params, carry: FastFir4Carry,
                  x: jax.Array) -> tuple[FastFir4Carry, jax.Array]:

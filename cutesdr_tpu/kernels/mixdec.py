@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cutesdr_tpu.design.decimation_plan import DecimationPlan
 from cutesdr_tpu.ops import decimator as dec_ops
-from cutesdr_tpu.types import K_2PI
+from cutesdr_tpu.types import K_2PI, complex_zeros
 
 _TWO32 = 4294967296.0
 LANE = 128
@@ -178,7 +178,7 @@ class MixDecimate:
 
     def init_carry(self) -> MixDecCarry:
         return MixDecCarry(
-            raw_tail=jnp.zeros(self.halo, jnp.complex64),
+            raw_tail=complex_zeros(self.halo, jnp.complex64),
             phase_base=jnp.zeros((), jnp.uint32))
 
     def retune(self, tune_freq: float) -> None:

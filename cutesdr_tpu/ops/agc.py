@@ -29,7 +29,7 @@ import numpy as np
 from jax import lax
 
 from cutesdr_tpu.ops.util import sliding_window_max
-from cutesdr_tpu.types import MAX_AMPLITUDE
+from cutesdr_tpu.types import MAX_AMPLITUDE, complex_zeros
 
 DELAY_TIMECONST = 0.015
 WINDOW_TIMECONST = 0.018
@@ -107,7 +107,7 @@ def init_carry(cfg: AgcConfig, complex_input: bool,
     zero = jnp.zeros((), rdtype)
     sig_dtype = jax.lax.complex(zero, zero).dtype if complex_input else rdtype
     return AgcCarry(
-        sig_delay=jnp.zeros(cfg.delay_samples, sig_dtype),
+        sig_delay=complex_zeros(cfg.delay_samples, sig_dtype),
         mag_tail=jnp.full(cfg.window_samples - 1, -16.0, rdtype),
         attack_ave=jnp.asarray(-5.0, rdtype),
         decay_ave=jnp.asarray(-5.0, rdtype),

@@ -32,6 +32,7 @@ import numpy as np
 
 from cutesdr_tpu.design.decimation_plan import DecimationPlan
 from cutesdr_tpu.ops.util import complex_strided_corr
+from cutesdr_tpu.types import complex_zeros
 
 
 class CascadeCarry(NamedTuple):
@@ -56,7 +57,7 @@ def cascade_init(plan: DecimationPlan, cdtype=jnp.complex64) -> CascadeCarry:
     tails = []
     for name in plan.stages:
         taps = plan.stage_taps(name)
-        tails.append(jnp.zeros(len(taps) - 1, cdtype))
+        tails.append(complex_zeros(len(taps) - 1, cdtype))
     return CascadeCarry(tails=tuple(tails))
 
 
@@ -88,7 +89,7 @@ def fused_init(plan: DecimationPlan, cdtype=jnp.complex64,
     d = total_offset(plan)
     tail_len = len(h) - 1 - d
     return (FusedParams(h_eq=jnp.asarray(h, rdtype)),
-            FusedCarry(tail=jnp.zeros(tail_len, cdtype)))
+            FusedCarry(tail=complex_zeros(tail_len, cdtype)))
 
 
 def fused_process(plan: DecimationPlan, params: FusedParams, carry: FusedCarry,

@@ -27,6 +27,7 @@ import numpy as np
 
 from cutesdr_tpu.design.fastfir_design import (CONV_FFT_SIZE, CONV_FIR_SIZE,
                                                design_fastfir)
+from cutesdr_tpu.types import complex_to_device, complex_zeros
 
 
 class FastFirParams(NamedTuple):
@@ -55,8 +56,9 @@ def init(f_lo_cut: float, f_hi_cut: float, offset: float, sample_rate: float,
          ntaps: int = NFIR) -> tuple[FastFirParams, FastFirCarry]:
     h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate,
                        fft_size=nfft, fir_size=ntaps)
-    return (FastFirParams(h_freq=jnp.asarray(h, cdtype)),
-            FastFirCarry(tail=jnp.zeros(ntaps - 1, cdtype)))
+    # complex_to_device: H must not cross the boundary as complex (CLAUDE.md)
+    return (FastFirParams(h_freq=complex_to_device(h, cdtype)),
+            FastFirCarry(tail=complex_zeros(ntaps - 1, cdtype)))
 
 
 def retune(params: FastFirParams, f_lo_cut: float, f_hi_cut: float,
@@ -64,7 +66,7 @@ def retune(params: FastFirParams, f_lo_cut: float, f_hi_cut: float,
            ntaps: int = NFIR) -> FastFirParams:
     h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate,
                        fft_size=params.h_freq.shape[-1], fir_size=ntaps)
-    return FastFirParams(h_freq=jnp.asarray(h, params.h_freq.dtype))
+    return FastFirParams(h_freq=complex_to_device(h, params.h_freq.dtype))
 
 
 def filter_frames(h_freq: jax.Array, z: jax.Array,

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from cutesdr_tpu.ops.util import strided_corr
+from cutesdr_tpu.types import complex_zeros
 
 
 class FirParams(NamedTuple):
@@ -37,7 +38,7 @@ def init(taps, taps_q=None, complex_input: bool = False,
     dt = jnp.zeros((), rdtype)
     tail_dtype = jax.lax.complex(dt, dt).dtype if complex_input else rdtype
     return (FirParams(taps_i=ti, taps_q=tq),
-            FirCarry(tail=jnp.zeros(ti.shape[0] - 1, tail_dtype)))
+            FirCarry(tail=complex_zeros(ti.shape[0] - 1, tail_dtype)))
 
 
 def process_real(params: FirParams, carry: FirCarry,

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cutesdr_tpu.ops.util import moving_sum, sliding_window_max
+from cutesdr_tpu.types import complex_zeros
 
 MAX_WIDTH = 4096
 MAGAVE_TIME = 0.005
@@ -68,7 +69,7 @@ def init_carry(cfg: BlankerConfig, cdtype=jnp.complex64,
     return BlankerCarry(
         mag_tail=jnp.zeros(cfg.mag_samples, rdtype),
         trig_tail=jnp.zeros(cfg.width_samples - 1, rdtype),
-        sig_tail=jnp.zeros(cfg.delay_samples + 1, cdtype))
+        sig_tail=complex_zeros(cfg.delay_samples + 1, cdtype))
 
 
 def history_len(cfg: BlankerConfig) -> int:

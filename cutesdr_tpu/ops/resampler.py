@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cutesdr_tpu.design.windows import window_table
-from cutesdr_tpu.types import K_PI
+from cutesdr_tpu.types import K_PI, complex_zeros
 
 SINC_PERIOD_PTS = 10000
 SINC_PERIODS = 28            # reference-exact default (fractresampler.cpp:50)
@@ -78,7 +78,7 @@ def init(rate: float, complex_input: bool = False, rdtype=jnp.float32,
                                              rdtype),
                             dt_hi=jnp.asarray(hi, rdtype),
                             dt_lo=jnp.asarray(lo, rdtype)),
-            ResamplerCarry(tail=jnp.zeros(periods, tdtype),
+            ResamplerCarry(tail=complex_zeros(periods, tdtype),
                            t0=jnp.zeros((), rdtype)))
 
 

@@ -33,6 +33,7 @@ from cutesdr_tpu.demod import (DEMOD_AM, DEMOD_FM, DEMOD_SAM, MODE_IDS,
                                sam as sam_demod, ssb as ssb_demod)
 from cutesdr_tpu.design.decimation_plan import DecimationPlan, plan_decimation
 from cutesdr_tpu.ops import agc, decimator, fastfir, nco, noiseblanker, resampler, smeter
+from cutesdr_tpu.types import complex_zeros
 
 SOUNDCARD_RATE = 48000.0
 
@@ -274,7 +275,7 @@ def init(cfg: ReceiverConfig, rdtype=jnp.float32):
     params = ReceiverParams(
         nco=nco_p, dec=dec_p, chan_filter=ff_p, agc=agc_p, smeter=sm_p,
         demod=dm_p, resamp=rs_p,
-        dc_offset=jnp.zeros((), cdtype),
+        dc_offset=complex_zeros((), cdtype),
         audio_gain=jnp.asarray(1.0, rdtype))
     state = ReceiverState(
         nco=nco_c, blanker=nb_c, dec=dec_c, chan_filter=ff_c, agc=agc_c,
@@ -642,8 +643,9 @@ class Receiver:
             audio_gain=jnp.asarray(g, self.params.audio_gain.dtype))
 
     def set_dc_offset(self, i_off: float, q_off: float) -> None:
-        self.params = self.params._replace(dc_offset=jnp.asarray(
-            complex(i_off, q_off), self.params.dc_offset.dtype))
+        rd = jnp.real(self.params.dc_offset).dtype
+        self.params = self.params._replace(dc_offset=jax.lax.complex(
+            jnp.asarray(i_off, rd), jnp.asarray(q_off, rd)))
 
     # --- structural reconfiguration (new program, migrated stream state) ---
     def reconfigure(self, new_cfg: ReceiverConfig,

@@ -227,9 +227,11 @@ class ReceiverSession:
                 continue
             rx = Receiver(cfg)
             self._receivers[key] = rx
-            # trace+compile now (throwaway zero block; state unchanged)
+            # trace+compile the production planes path now (throwaway zero
+            # block; state unchanged).  Host zeros, not jnp complex zeros:
+            # eager complex creation breaks on the axon tunnel (CLAUDE.md).
             saved = rx.state
-            rx.process(self._jnp.zeros(cfg.block_size, self._jnp.complex64))
+            rx.process_host(np.zeros(cfg.block_size, np.complex64))
             rx.state = saved
 
     # ---------------------------------------------------------- controls --

@@ -43,13 +43,16 @@ class CombinerCarry(NamedTuple):
 
 def init(smoothing_blocks: float = 8.0, rdtype=jnp.float32,
          manual: bool = False, fixed_gain: complex = 1.0 + 0.0j):
-    cdtype = jax.lax.complex(jnp.zeros((), rdtype),
-                             jnp.zeros((), rdtype)).dtype
+    # complex values are formed ON device (lax.complex of f32 scalars):
+    # host-complex H2D wedges the axon tunnel (CLAUDE.md)
+    fg = complex(fixed_gain)
     params = CombinerParams(
         alpha=jnp.asarray(1.0 / max(1.0, smoothing_blocks), rdtype),
         manual=jnp.asarray(bool(manual)),
-        fixed_gain=jnp.asarray(fixed_gain, cdtype))
-    return params, CombinerCarry(gain=jnp.asarray(1.0 + 0.0j, cdtype))
+        fixed_gain=jax.lax.complex(jnp.asarray(fg.real, rdtype),
+                                   jnp.asarray(fg.imag, rdtype)))
+    return params, CombinerCarry(
+        gain=jax.lax.complex(jnp.ones((), rdtype), jnp.zeros((), rdtype)))
 
 
 def process(params: CombinerParams, carry: CombinerCarry,
@@ -100,7 +103,10 @@ class DiversityReceiver:
 
     @property
     def last_gain(self) -> complex:
-        return complex(jax.device_get(self.comb_state.gain))
+        # pull re/im planes separately: complex scalars must not cross the
+        # device->host boundary on the axon tunnel (CLAUDE.md)
+        g = self.comb_state.gain
+        return complex(float(jnp.real(g)), float(jnp.imag(g)))
 
     def set_steering(self, gain: complex | None) -> None:
         """Fix the combining gain (None returns to automatic MRC)."""
@@ -108,6 +114,8 @@ class DiversityReceiver:
             self.comb_params = self.comb_params._replace(
                 manual=jnp.asarray(False))
         else:
+            rd = jnp.real(self.comb_params.fixed_gain).dtype
             self.comb_params = self.comb_params._replace(
                 manual=jnp.asarray(True),
-                fixed_gain=jnp.asarray(gain, self.comb_params.fixed_gain.dtype))
+                fixed_gain=jax.lax.complex(jnp.asarray(gain.real, rd),
+                                           jnp.asarray(gain.imag, rd)))

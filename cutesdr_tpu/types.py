@@ -34,3 +34,43 @@ def real_dtype():
 
 def complex_dtype():
     return np.complex128 if _PRECISION == "golden" else np.complex64
+
+
+def complex_zeros(shape, dtype):
+    """``jnp.zeros`` that is safe for complex dtypes on the axon tunnel.
+
+    ``jnp.zeros(shape, complex64)`` embeds a host complex scalar constant
+    whose host->device transfer raises UNIMPLEMENTED on the remote-TPU
+    backend (CLAUDE.md).  This forms the array as ``lax.complex`` of real
+    zero planes instead, which works eagerly and traced on every backend.
+    Real dtypes pass through to plain ``jnp.zeros``."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype)
+    if not jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.zeros(shape, dtype)
+    rd = jnp.float64 if dtype == jnp.dtype(jnp.complex128) else jnp.float32
+    z = jnp.zeros(shape, rd)
+    return jax.lax.complex(z, z)
+
+
+def complex_to_device(a, cdtype=None):
+    """Host complex array -> device complex array WITHOUT a complex
+    host->device transfer: ships the real/imag planes as floats and forms
+    the complex value on device (jax.lax.complex).
+
+    Required on the axon TPU tunnel, where complex64 crossing the
+    host<->device boundary in either direction wedges the client session
+    (CLAUDE.md); also harmless/equivalent on CPU.  Use for every complex
+    *constant* that enters a params pytree (filter responses, DFT tables);
+    on-device state creation (jnp.zeros) does not need it."""
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(a)
+    if cdtype is None:
+        cdtype = complex_dtype()
+    rd = jnp.float64 if np.dtype(cdtype) == np.complex128 else jnp.float32
+    return jax.lax.complex(jnp.asarray(a.real.copy(), rd),
+                           jnp.asarray(a.imag.copy(), rd))
