@@ -93,12 +93,28 @@ class DiversityReceiver:
             s, out = rx.receiver_step(cfg, p, s, y)
             return s, cs, out
 
+        def step_planes(p, cp, s, cs, re, im):
+            s, cs, out = step(p, cp, s, cs, jax.lax.complex(re, im))
+            return s, cs, rx.split_complex_leaves(out)
+
         self._step = jax.jit(step)
+        self._step_planes = jax.jit(step_planes)
 
     def process(self, iq_stack):
         self.state, self.comb_state, out = self._step(
             self.params, self.comb_params, self.state, self.comb_state,
             jnp.asarray(iq_stack))
+        return out
+
+    def process_host(self, iq_stack):
+        """TPU-safe host path: f32 re/im planes in, complex output leaves
+        split to [..., 2] float stacks (complex64 host<->device transfers
+        wedge the axon tunnel — CLAUDE.md)."""
+        import numpy as np
+        self.state, self.comb_state, out = self._step_planes(
+            self.params, self.comb_params, self.state, self.comb_state,
+            np.ascontiguousarray(np.real(iq_stack), np.float32),
+            np.ascontiguousarray(np.imag(iq_stack), np.float32))
         return out
 
     @property

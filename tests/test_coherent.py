@@ -94,3 +94,27 @@ def test_diversity_receiver_end_to_end():
     pk = f[np.argmax(spec)]
     assert abs(pk - 2000.0) < 30, pk
     assert abs(rx.last_gain - g) < 0.05
+
+
+def test_diversity_receiver_host_planes_matches_complex_path():
+    """process_host (f32 re/im planes both ways — the TPU production
+    contract) produces the same audio and gain as process()."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig, join_complex_pair
+    from cutesdr_tpu.shard.coherent import DiversityReceiver
+
+    cfg = ReceiverConfig(input_rate=2e6, mode="usb", tune_freq=100e3,
+                         agc_on=False)
+    rx_c = DiversityReceiver(cfg, smoothing_blocks=2.0)
+    rx_h = DiversityReceiver(cfg, smoothing_blocks=2.0)
+    fs, n = 2e6, cfg.block_size
+    t = np.arange(3 * n) / fs
+    s = 8000.0 * np.exp(2j * np.pi * 102e3 * t)
+    stack = np.stack([s, 0.8 * np.exp(1j * 0.3) * s]).astype(np.complex64)
+    for i in range(3):
+        blk = stack[:, i * n:(i + 1) * n]
+        out_c = rx_c.process(blk)
+        out_h = rx_h.process_host(blk)
+        np.testing.assert_allclose(np.asarray(out_h.audio),
+                                   np.asarray(out_c.audio),
+                                   rtol=0, atol=1e-4)
+    assert abs(rx_h.last_gain - rx_c.last_gain) < 1e-6
