@@ -162,7 +162,12 @@ def bench_session_streaming(n_blocks, depth):
             "ms_per_block": round(per_block * 1e3, 3),
             "iq_msps": round(msps, 1),
             "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
-            "spread": round((max(samples) - per_block) / per_block, 2)}
+            "spread": round((max(samples) - per_block) / per_block, 2),
+            "note": ("host loop incl. per-block H2D/D2H; on the remote-"
+                     "tunnel dev rig transfers have erratic multi-ms to "
+                     "multi-second stalls, so this row measures the tunnel, "
+                     "not the chip (full_20msps is the device-loop compute "
+                     "number; directly-attached PCIe would add <1 ms/block)")}
 
 
 def main(argv=None):
@@ -204,6 +209,16 @@ def main(argv=None):
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    if args.only:
+        # partial run: merge into the existing file instead of clobbering it
+        try:
+            with open("BENCH_DETAILS.json") as f:
+                existing = {r.get("config"): r for r in json.load(f)}
+        except (OSError, ValueError):
+            existing = {}
+        for r in results:
+            existing[r.get("config")] = r
+        results = list(existing.values())
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote BENCH_DETAILS.json ({len(results)} configs)",

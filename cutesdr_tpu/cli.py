@@ -22,8 +22,19 @@ import numpy as np
 def _add_receiver_args(p: argparse.ArgumentParser,
                        default_latency_ms: float = 0.0) -> None:
     p.add_argument("--source", default="sweep",
-                   help="'sweep', 'tone:FREQ', 'file:PATH[:fmt]', or "
-                        "'udp:PORT' (native ingest)")
+                   help="'sweep', 'tone:FREQ', 'file:PATH[:fmt]', "
+                        "'udp:PORT' (native ingest), or "
+                        "'radio:HOST[:PORT]' (live RFSPACE radio)")
+    p.add_argument("--radio-type", default="netsdr",
+                   choices=["netsdr", "sdrip", "sdriq", "sdr14"],
+                   help="device personality for radio: sources")
+    p.add_argument("--bw-index", type=int, default=3,
+                   help="radio bandwidth index 0-3 (sets the sample rate "
+                        "from the device's rate table; overrides --fs)")
+    p.add_argument("--rf-gain", type=int, default=0,
+                   help="RF attenuation: 0/-10/-20/-30 dB")
+    p.add_argument("--center", type=float, default=None,
+                   help="radio RF center frequency Hz (default: --freq)")
     p.add_argument("--fs", type=float, default=2e6, help="input sample rate")
     p.add_argument("--mode", default="usb",
                    choices=["am", "sam", "fm", "usb", "lsb", "cwu", "cwl"])
@@ -34,6 +45,10 @@ def _add_receiver_args(p: argparse.ArgumentParser,
     p.add_argument("--cw-offset", type=float, default=0.0)
     p.add_argument("--agc-off", action="store_true")
     p.add_argument("--nb-on", action="store_true")
+    p.add_argument("--nb-threshold", type=float, default=50.0,
+                   help="noise blanker threshold 0-99 (UI scale)")
+    p.add_argument("--nb-width-us", type=float, default=2.0,
+                   help="noise blanker blank width, microseconds")
     p.add_argument("--squelch", type=int, default=0)
     p.add_argument("--stereo", action="store_true")
     p.add_argument("--volume", type=int, default=99)
@@ -54,6 +69,119 @@ def _add_receiver_args(p: argparse.ArgumentParser,
                         "traffic, ~67 dB SNR vs f32)")
 
 
+def _radio_type(args):
+    from cutesdr_tpu.io.netsdr import RadioType
+    return {"netsdr": RadioType.NETSDR, "sdrip": RadioType.SDRIP,
+            "sdriq": RadioType.SDRIQ, "sdr14": RadioType.SDR14}[args.radio_type]
+
+
+def _apply_radio_rate(args) -> None:
+    """For radio: sources the device's rate table dictates the sample rate
+    (interface/sdrinterface.cpp:51-114) — override --fs before the pipeline
+    is configured."""
+    if not args.source.startswith("radio:"):
+        return
+    from cutesdr_tpu.io.netsdr import RATE_TABLES
+    fs = RATE_TABLES[_radio_type(args)][args.bw_index][0]
+    if args.fs not in (2e6, fs):      # 2e6 is the argparse default
+        print(f"note: --fs {args.fs:.0f} overridden by the radio's "
+              f"bandwidth-index {args.bw_index} rate {fs:.0f} Hz",
+              file=sys.stderr)
+    args.fs = fs
+
+
+class _RadioSource:
+    """Live-radio source: SdrClient in a background asyncio thread feeding
+    a bounded queue, re-blocked for the pull-based run/serve loops.
+
+    The reference couples these with threads + a 256-slot FIFO
+    (interface/netiobase.cpp:62,571-600); the queue here is that FIFO, and
+    SdrClient already carries the keepalive watchdog / reconnect loop /
+    sequence-gap accounting."""
+
+    live = True                      # run/serve skip generator pacing
+
+    def __init__(self, host: str, port: int, args, block_size: int):
+        import queue
+        import threading
+
+        self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=256)
+        self._chunks: list[np.ndarray] = []
+        self._have = 0
+        self._block = block_size
+        self._stop = threading.Event()
+        self._ready = threading.Event()
+        self._err: BaseException | None = None
+        self.client = None
+        self.dropped_blocks = 0
+        self._thread = threading.Thread(target=self._run,
+                                        args=(host, port, args), daemon=True)
+        self._thread.start()
+        self._ready.wait(timeout=20.0)
+        if self._err is not None:
+            raise SystemExit(f"radio connect failed: {self._err!r}")
+        if self.client is None:
+            raise SystemExit("radio connect timed out")
+
+    def _run(self, host: str, port: int, args) -> None:
+        import asyncio
+
+        from cutesdr_tpu.io.netsdr import SdrClient
+
+        async def main():
+            client = SdrClient(host=host, port=port,
+                               radio_type=_radio_type(args),
+                               bandwidth_index=args.bw_index,
+                               rf_gain=args.rf_gain, on_iq=self._on_iq)
+            await client.connect()
+            await asyncio.sleep(0.5)          # let the handshake fill in
+            client.set_bandwidth_index(args.bw_index)
+            client.set_frequency(int(args.center
+                                     if args.center is not None
+                                     else args.freq))
+            client.start()
+            self.client = client
+            self._ready.set()
+            print(f"radio: {client.device_name or '(unnamed)'} "
+                  f"sn={client.serial or '?'} fs={client.sample_rate:.0f}",
+                  file=sys.stderr)
+            while not self._stop.is_set():
+                await asyncio.sleep(0.1)
+            client.stop()
+            await client.close()
+
+        try:
+            asyncio.run(main())
+        except BaseException as e:           # surface connect failures
+            self._err = e
+            self._ready.set()
+
+    def _on_iq(self, iq: np.ndarray) -> None:
+        import queue
+        try:
+            self._q.put_nowait(np.asarray(iq, np.complex64))
+        except queue.Full:                   # consumer stalled: drop, count
+            self.dropped_blocks += 1
+
+    def __call__(self):
+        import queue
+        while self._have < self._block:
+            try:
+                c = self._q.get(timeout=5.0)
+            except queue.Empty:
+                return None                  # stream died (watchdog reports)
+            self._chunks.append(c)
+            self._have += len(c)
+        cat = np.concatenate(self._chunks)
+        out, rest = cat[:self._block], cat[self._block:]
+        self._chunks, self._have = [rest], len(rest)
+        return out
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
 def _cfg_from_args(args, probes: bool = False):
     from cutesdr_tpu.design.latency import choose_fastfir_sizes
     from cutesdr_tpu.pipeline.receiver import ReceiverConfig
@@ -61,7 +189,9 @@ def _cfg_from_args(args, probes: bool = False):
     cfg = ReceiverConfig(
         input_rate=args.fs, mode=args.mode, tune_freq=args.freq,
         low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
-        agc_on=not args.agc_off, nb_on=args.nb_on, squelch_ui=args.squelch,
+        agc_on=not args.agc_off, nb_on=args.nb_on,
+        nb_threshold=args.nb_threshold, nb_width_us=args.nb_width_us,
+        squelch_ui=args.squelch,
         stereo=args.stereo, front_dtype=args.front_dtype, probes=probes)
     # negative = the run/serve built-in default: ~10 ms best-effort
     best_effort = args.target_latency_ms < 0
@@ -127,6 +257,11 @@ def _make_source(args, block_size):
         from cutesdr_tpu.io.native_ingest import NativeIngest
         ing = NativeIngest(int(spec[4:]))
         return lambda: ing.read(block_size, timeout_ms=2000)
+    if spec.startswith("radio:"):
+        parts = spec.split(":")
+        host = parts[1]
+        port = int(parts[2]) if len(parts) > 2 else 50000
+        return _RadioSource(host, port, args, block_size)
     raise SystemExit(f"unknown source {spec!r}")
 
 
@@ -134,6 +269,7 @@ def cmd_run(args) -> int:
     from cutesdr_tpu.io.filesource import WavSink
     from cutesdr_tpu.pipeline.receiver import Receiver, join_complex_pair
 
+    _apply_radio_rate(args)
     cfg = _cfg_from_args(args, probes=args.probe > 0)
     rx = Receiver(cfg)
     rx.set_volume(args.volume)
@@ -166,6 +302,8 @@ def cmd_run(args) -> int:
                 print(f"block {i}/{n_blocks} s-meter "
                       f"{float(out.smeter_ave_db):6.1f} dB", file=sys.stderr)
     dt = time.time() - t0
+    if hasattr(source, "close"):
+        source.close()
     if probes:
         np.save(f"probe{args.probe}.npy", np.concatenate(probes))
         print(f"wrote probe{args.probe}.npy", file=sys.stderr)
@@ -219,6 +357,7 @@ def cmd_record(args) -> int:
     from cutesdr_tpu.io.recorder import RingRecorder, SigMFWriter
 
     args.mode = getattr(args, "mode", "usb")
+    _apply_radio_rate(args)
     block = 65536
     source = _make_source(args, block)
     target = int(args.seconds * args.fs)
@@ -304,6 +443,7 @@ def cmd_serve(args) -> int:
 
     from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
 
+    _apply_radio_rate(args)
     cfg = _cfg_from_args(args)
     if args.channels:
         from cutesdr_tpu.bank import BankSession
@@ -349,14 +489,18 @@ def cmd_serve(args) -> int:
             if iq is None:
                 break
             sess.pump(iq)
-            # pace roughly to real time for generator sources
-            if args.realtime or speaker is not None:
+            # pace roughly to real time for generator sources (live radio
+            # sources pace themselves)
+            if ((args.realtime or speaker is not None)
+                    and not getattr(source, "live", False)):
                 _time.sleep(cfg.block_size / args.fs)
     except KeyboardInterrupt:
         pass
     finally:
         if speaker is not None:
             speaker.stop()
+        if hasattr(source, "close"):
+            source.close()
         srv.stop()
     print(sess.status_line(), file=sys.stderr)
     return 0

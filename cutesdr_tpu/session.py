@@ -14,11 +14,25 @@ from typing import Callable, Optional
 
 import numpy as np
 
+import jax
+
 from cutesdr_tpu.io.audio_sink import RateLockedQueue
 from cutesdr_tpu.metrics import StreamMetrics
 from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
 from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
 from cutesdr_tpu.settings import SessionSettings
+
+
+def _start_host_copy(leaf) -> None:
+    """Begin an async device->host copy of one output leaf (no-op for
+    non-device values); np.asarray later completes against the staged copy
+    instead of issuing a fresh synchronous round trip."""
+    start = getattr(leaf, "copy_to_host_async", None)
+    if start is not None:
+        try:
+            start()
+        except Exception:
+            pass               # backend without async copies: finish() syncs
 
 
 @dataclass
@@ -45,8 +59,6 @@ class ReceiverSession:
     pipeline_depth: int = 2
 
     def __post_init__(self):
-        import jax.numpy as jnp
-        self._jnp = jnp
         self.receiver = Receiver(self.cfg)
         self.receiver.set_volume(self.settings.volume)
         # bucketed program cache: one Receiver (compiled step + stream
@@ -130,6 +142,10 @@ class ReceiverSession:
             out = self.receiver.process_host(chunk)
             self.metrics.samples_in += bs
             self.metrics.blocks += 1
+            # kick off the device->host copies NOW so they overlap the next
+            # block's upload + compute; _finish's np.asarray then finds the
+            # host copy already staged (same trick as double-buffered D2H)
+            jax.tree_util.tree_map(_start_host_copy, out)
             self._inflight.append((out, bs))
             while len(self._inflight) >= max(1, self.pipeline_depth):
                 done, dbs = self._inflight.pop(0)

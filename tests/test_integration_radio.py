@@ -21,8 +21,10 @@ class FakeNetSdr:
     """Speaks enough ASCP to complete the handshake and, once started,
     streams 16-bit IQ data packets of a tone over UDP."""
 
-    def __init__(self, tone_hz=10_000.0, fs=500_000.0, amp=3000.0):
+    def __init__(self, tone_hz=10_000.0, fs=500_000.0, amp=3000.0,
+                 n_packets=40):
         self.tone_hz, self.fs, self.amp = tone_hz, fs, amp
+        self.n_packets = n_packets
         self.port = None
         self._udp_peer = None
         self._streaming = False
@@ -83,9 +85,9 @@ class FakeNetSdr:
             await writer.drain()
 
     async def _stream(self):
-        """Send 40 packets of 256 samples of tone, 16-bit format."""
+        """Send n_packets packets of 256 samples of tone, 16-bit format."""
         n = 256
-        for _ in range(40):
+        for _ in range(self.n_packets):
             t = self._phase + np.arange(n)
             iq = self.amp * np.exp(2j * np.pi * self.tone_hz / self.fs * t)
             self._phase += n
@@ -138,3 +140,53 @@ def test_fake_radio_to_audio():
     assert client.missed_packets == 0
     # audio queue accumulated demodulated samples
     assert sess.audio_queue.level > 0
+
+
+@pytest.mark.slow
+def test_cli_run_from_live_radio(tmp_path):
+    """`cli run --source radio:HOST:PORT` — the reference's primary
+    workflow (connect -> tune -> demodulate -> audio) end-to-end through
+    the CLI: fake NetSDR at bandwidth-index 1 (250 kSPS), tone 1 kHz above
+    the tune frequency, WAV out."""
+    import threading
+    import wave
+
+    from cutesdr_tpu import cli
+
+    fs = 250_000.0                       # NetSDR bw-index 1 table rate
+    radio_box = {}
+    started = threading.Event()
+
+    def radio_thread():
+        async def main():
+            radio = FakeNetSdr(tone_hz=11_000.0, fs=fs, n_packets=2000)
+            await radio.start()
+            radio_box["port"] = radio.port
+            radio_box["stop"] = stop = asyncio.Event()
+            started.set()
+            await stop.wait()
+            await radio.stop()
+
+        asyncio.run(main())
+
+    t = threading.Thread(target=radio_thread, daemon=True)
+    t.start()
+    assert started.wait(10.0)
+
+    out = str(tmp_path / "radio.wav")
+    rc = cli.main(["run", "--source", f"radio:127.0.0.1:{radio_box['port']}",
+                   "--radio-type", "netsdr", "--bw-index", "1",
+                   "--mode", "usb", "--freq", "10000",
+                   "--seconds", "0.4", "--out", out])
+    radio_box["stop"].set()
+    assert rc == 0
+
+    with wave.open(out) as w:
+        n = w.getnframes()
+        assert n > 0
+        audio = np.frombuffer(w.readframes(n), np.int16).astype(np.float64)
+    # skip the settling head, then the tone must dominate at ~1 kHz
+    a = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.fft.rfftfreq(len(a), 1 / 48000.0)[int(np.argmax(spec))]
+    assert abs(f_pk - 1000.0) < 50.0, f_pk
