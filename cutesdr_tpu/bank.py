@@ -13,9 +13,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
+import jax
 import numpy as np
 
 from cutesdr_tpu.io.audio_sink import RateLockedQueue
+from cutesdr_tpu.session import _start_host_copy
 from cutesdr_tpu.metrics import StreamMetrics
 from cutesdr_tpu.pipeline.receiver import ReceiverConfig
 from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
@@ -40,6 +42,9 @@ class BankSession:
     settings: SessionSettings = field(default_factory=SessionSettings)
     on_spectrum: Optional[Callable[[np.ndarray], None]] = None
     monitor: int = 0
+    # dispatch pipelining: keep depth-1 steps in flight with device->host
+    # copies staged async, like ReceiverSession (1 = synchronous)
+    pipeline_depth: int = 2
 
     def __post_init__(self):
         self.tune_freqs = list(self.tune_freqs)
@@ -60,6 +65,7 @@ class BankSession:
         self.channel_spectra = np.full((len(self.tune_freqs), SPECTRA_BINS),
                                        -120.0, np.float32)
         self._pending = np.zeros(0, np.complex64)
+        self._inflight: list = []
         self.running = False
 
     # ------------------------------------------------------------- data ---
@@ -68,7 +74,30 @@ class BankSession:
         self.metrics = StreamMetrics()
 
     def stop(self) -> None:
+        self.flush()
         self.running = False
+
+    def _finish(self, out, bs: int) -> None:
+        """Materialize one dispatched bank step (device->host) and deliver."""
+        self.smeter_db = np.asarray(out.smeter_ave_db)
+        self.smeter_peak_db = np.asarray(out.smeter_peak_db)
+        all_audio = np.asarray(out.audio)
+        self._update_spectra(all_audio, np.asarray(out.n_audio))
+        m = self.monitor
+        n_aud = int(np.asarray(out.n_audio)[m])
+        audio = all_audio[m, :n_aud]
+        self.audio_queue.put_block(
+            np.clip(audio, -32767, 32767).astype(np.int16))
+        self.metrics.update_block(bs, n_aud,
+                                  float(self.smeter_db[m]),
+                                  float(self.smeter_peak_db[m]))
+
+    def flush(self) -> int:
+        n = len(self._inflight)
+        for out, bs in self._inflight:
+            self._finish(out, bs)
+        self._inflight.clear()
+        return n
 
     def pump(self, iq: np.ndarray) -> int:
         """Feed raw wideband IQ; returns number of bank steps run."""
@@ -86,18 +115,11 @@ class BankSession:
             # host-plane path: stereo audio arrives as [ch, cap, 2] float
             # stacks; complex64 never crosses the device boundary
             out = self.bank.process_host(chunk)
-            self.smeter_db = np.asarray(out.smeter_ave_db)
-            self.smeter_peak_db = np.asarray(out.smeter_peak_db)
-            all_audio = np.asarray(out.audio)
-            self._update_spectra(all_audio, np.asarray(out.n_audio))
-            m = self.monitor
-            n_aud = int(np.asarray(out.n_audio)[m])
-            audio = all_audio[m, :n_aud]
-            self.audio_queue.put_block(
-                np.clip(audio, -32767, 32767).astype(np.int16))
-            self.metrics.update_block(bs, n_aud,
-                                      float(self.smeter_db[m]),
-                                      float(self.smeter_peak_db[m]))
+            jax.tree_util.tree_map(_start_host_copy, out)
+            self._inflight.append((out, bs))
+            while len(self._inflight) >= max(1, self.pipeline_depth):
+                done, dbs = self._inflight.pop(0)
+                self._finish(done, dbs)
             blocks += 1
         self._pending = buf
         return blocks
