@@ -90,6 +90,20 @@ def _apply_radio_rate(args) -> None:
     args.fs = fs
 
 
+def _apply_spur_cal(source, receiver) -> None:
+    """Feed the radio client's learned NCO-spur DC offsets into the
+    pipeline's per-sample subtraction (the reference applies them inside
+    ProcessIQData, interface/sdrinterface.cpp:891-894).  No-op for
+    non-radio sources or unchanged offsets."""
+    client = getattr(source, "client", None)
+    if client is None:
+        return
+    off = client.spur_offsets
+    if off != getattr(source, "_applied_spur", (0.0, 0.0)):
+        source._applied_spur = off
+        receiver.set_dc_offset(*off)
+
+
 class _RadioSource:
     """Live-radio source: SdrClient in a background asyncio thread feeding
     a bounded queue, re-blocked for the pull-based run/serve loops.
@@ -301,6 +315,7 @@ def cmd_run(args) -> int:
             if i % 10 == 0:
                 print(f"block {i}/{n_blocks} s-meter "
                       f"{float(out.smeter_ave_db):6.1f} dB", file=sys.stderr)
+            _apply_spur_cal(source, rx)
     dt = time.time() - t0
     if hasattr(source, "close"):
         source.close()
@@ -489,6 +504,8 @@ def cmd_serve(args) -> int:
             if iq is None:
                 break
             sess.pump(iq)
+            if not args.channels:
+                _apply_spur_cal(source, sess.receiver)
             # pace roughly to real time for generator sources (live radio
             # sources pace themselves)
             if ((args.realtime or speaker is not None)

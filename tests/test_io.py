@@ -471,3 +471,47 @@ def test_sdr_client_ad6620_ack_pump():
     assert c._ad6620 is None        # load complete
     # sample rate follows the SDR-IQ table
     assert abs(c.sample_rate - 66666666.6667 / 1200.0) < 1.0
+
+
+def test_spur_cal_block_update_matches_per_sample_loop():
+    """SdrClient._spur_calibrate's block-exponential form must equal the
+    reference's per-sample recurrence s' = (1-a)s + a*x
+    (interface/sdrinterface.cpp:826-848)."""
+    from cutesdr_tpu.io.netsdr import SdrClient
+
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)
+          + (1.25 - 0.5j)).astype(np.complex64)
+    c = SdrClient()
+    c._start_spur_cal()
+    c._spur_calibrate(iq[:3000])
+    c._spur_calibrate(iq[3000:])
+
+    a = 1.0 / 100000.0
+    si = sq = 0.0
+    for x in iq:
+        si = (1.0 - a) * si + a * float(x.real)
+        sq = (1.0 - a) * sq + a * float(x.imag)
+    assert abs(c.spur_offsets[0] - si) < 1e-6 * max(1.0, abs(si))
+    assert abs(c.spur_offsets[1] - sq) < 1e-6 * max(1.0, abs(sq))
+
+
+def test_apply_spur_cal_feeds_receiver_dc_offset():
+    from cutesdr_tpu.cli import _apply_spur_cal
+
+    class FakeClient:
+        spur_offsets = (0.5, -0.25)
+
+    class FakeSource:
+        client = FakeClient()
+
+    calls = []
+
+    class FakeRx:
+        def set_dc_offset(self, i, q):
+            calls.append((i, q))
+
+    src, rx = FakeSource(), FakeRx()
+    _apply_spur_cal(src, rx)
+    _apply_spur_cal(src, rx)          # unchanged: no second call
+    assert calls == [(0.5, -0.25)]
