@@ -460,10 +460,17 @@ def cmd_serve(args) -> int:
 
     _apply_radio_rate(args)
     cfg = _cfg_from_args(args)
+    # settings persistence (the MainWindow QSettings workflow,
+    # gui/mainwindow.cpp:272-458): load at start, save at clean exit
+    settings = None
+    if args.settings:
+        from cutesdr_tpu.settings import SessionSettings
+        settings = SessionSettings.load(args.settings)
     if args.channels:
         from cutesdr_tpu.bank import BankSession
         freqs = [float(x) for x in args.channels.split(",")]
-        sess = BankSession(cfg, freqs)
+        sess = (BankSession(cfg, freqs, settings=settings) if settings
+                else BankSession(cfg, freqs))
 
         def on_select(i):
             m = sess.select(i)
@@ -480,7 +487,14 @@ def cmd_serve(args) -> int:
             channels=sess.channel_info(),
             overload=sess.analyzer.overload)
     else:
-        sess = ReceiverSession(cfg)
+        sess = (ReceiverSession(cfg, settings=settings) if settings
+                else ReceiverSession(cfg))
+        if settings is not None and (settings.radio.spur_offset_i
+                                     or settings.radio.spur_offset_q):
+            # saved NCO-spur cal applies from the first sample
+            # (gui/mainwindow.cpp:311-316 restores it from QSettings)
+            sess.receiver.set_dc_offset(settings.radio.spur_offset_i,
+                                        settings.radio.spur_offset_q)
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
                              on_filter=sess.set_filter).start()
@@ -519,8 +533,36 @@ def cmd_serve(args) -> int:
         if hasattr(source, "close"):
             source.close()
         srv.stop()
+        if settings is not None:
+            _save_serve_settings(args, sess, source, settings)
     print(sess.status_line(), file=sys.stderr)
     return 0
+
+
+def _save_serve_settings(args, sess, source, settings) -> None:
+    """Persist the session's last-used state back to the settings file
+    (the reference's writeSettings, gui/mainwindow.cpp:272-366)."""
+    settings.demod_mode = sess.cfg.mode
+    settings.volume = getattr(sess, "settings", settings).volume
+    settings.nb_on = sess.cfg.nb_on
+    settings.nb_threshold = sess.cfg.nb_threshold
+    settings.nb_width_us = sess.cfg.nb_width_us
+    tune = getattr(sess, "current_tune", None)
+    if tune is not None:
+        settings.radio.demod_frequency = int(tune)
+    client = getattr(source, "client", None)
+    if client is not None:
+        settings.radio.ip = client.host
+        settings.radio.port = client.port
+        settings.radio.radio_type = client.radio_type.value
+        settings.radio.bandwidth_index = client.bandwidth_index
+        settings.radio.rf_gain = client.rf_gain
+        settings.radio.center_frequency = int(client.current_frequency)
+        i, q = client.spur_offsets
+        settings.radio.spur_offset_i = i
+        settings.radio.spur_offset_q = q
+    settings.save(args.settings)
+    print(f"settings saved -> {args.settings}", file=sys.stderr)
 
 
 def cmd_latency(args) -> int:
@@ -591,6 +633,11 @@ def main(argv=None) -> int:
     p_srv = sub.add_parser("serve", help="browser spectrum/waterfall UI")
     _add_receiver_args(p_srv, default_latency_ms=-1.0)
     p_srv.add_argument("--port", type=int, default=8765)
+    p_srv.add_argument("--settings", default="",
+                       help="JSON settings file: loaded at start (per-mode "
+                            "demod table, display, volume), saved at exit "
+                            "with last-used mode/tune/radio params and "
+                            "learned spur cal (the QSettings workflow)")
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")
     p_srv.add_argument("--channels", default="",

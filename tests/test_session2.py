@@ -62,3 +62,30 @@ def test_tune_clicked_rounds_to_resolution():
     assert sess.tune_clicked(123_456.7) == 123_500.0
     sess.settings.demod["usb"].filter_click_resolution = 1000
     assert sess.tune_clicked(123_456.7) == 123_000.0
+
+
+def test_serve_settings_roundtrip(tmp_path):
+    """`serve --settings PATH` loads at start and persists last-used state
+    at exit (the MainWindow QSettings workflow)."""
+    import json
+
+    from cutesdr_tpu import cli
+    from cutesdr_tpu.settings import SessionSettings
+
+    path = tmp_path / "settings.json"
+    st = SessionSettings()
+    st.volume = 42
+    st.radio.spur_offset_i = 0.125
+    st.demod["usb"].hi_cut = 2500.0
+    st.save(path)
+
+    rc = cli.main(["serve", "--source", "tone:100000", "--fs", "2000000",
+                   "--mode", "usb", "--freq", "100000",
+                   "--seconds", "0.2", "--port", "0",
+                   "--settings", str(path)])
+    assert rc == 0
+    doc = json.loads(path.read_text())
+    assert doc["volume"] == 42                        # loaded + preserved
+    assert doc["demod_mode"] == "usb"                 # last-used mode saved
+    assert doc["radio"]["demod_frequency"] == 100000  # last tune saved
+    assert doc["demod"]["usb"]["hi_cut"] == 2500.0    # table roundtrips
