@@ -50,11 +50,13 @@ def main(argv=None):
         x = ((rng.standard_normal(srx.superblock_size)
               + 1j * rng.standard_normal(srx.superblock_size)) * 100
              ).astype(np.complex64)
-        out = srx.process(jnp.asarray(x))        # compile
+        # host-plane path: complex64 must not cross the device boundary
+        # on remote-attached TPUs (CLAUDE.md)
+        out = srx.process_host(x)                # compile
         jax.block_until_ready(out.audio)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = srx.process(jnp.asarray(x))
+            out = srx.process_host(x)
         jax.block_until_ready(out.audio)
         dt = (time.perf_counter() - t0) / args.iters
         rate = srx.superblock_size / dt
