@@ -503,11 +503,18 @@ def cmd_serve(args) -> int:
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=sess.metrics.smeter_ave_db,
             overload=sess.metrics.overload)
+    if args.audio_device == "list":
+        from cutesdr_tpu.io.audio_device import list_devices
+        for name in list_devices() or ["(no output devices / backend)"]:
+            print(name)
+        srv.stop()
+        return 0
     source = _make_source(args, cfg.block_size)
     speaker = None
     if args.audio:
         from cutesdr_tpu.io.audio_device import SoundCardSink
-        speaker = SoundCardSink(sess.audio_queue, 48000).start()
+        speaker = SoundCardSink(sess.audio_queue, 48000,
+                                device=args.audio_device).start()
     sess.start()
     print(f"serving http://127.0.0.1:{srv.port}/  (Ctrl-C to stop)",
           file=sys.stderr)
@@ -648,6 +655,10 @@ def main(argv=None) -> int:
                        help="play audio to the sound card (needs the "
                             "optional 'sounddevice' package; implies "
                             "--realtime)")
+    p_srv.add_argument("--audio-device", default=None,
+                       help="output device name for --audio ('list' prints "
+                            "the available devices and exits — the sound "
+                            "dialog's device pick, gui/sounddlg.cpp)")
     p_srv.set_defaults(fn=cmd_serve)
 
     p_lat = sub.add_parser("latency", help="latency budget for a config")
