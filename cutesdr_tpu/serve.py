@@ -272,6 +272,13 @@ window.addEventListener('mouseup', ev=>{
     post('/tune', {freq_hz: xf(ev.offsetX)});
   drag = null;
 });
+// wheel tuning (gui/plotter.cpp wheelEvent): one click-resolution step per
+// notch, x10 with shift; the server snaps to the mode's resolution
+for (const cv of [spec, wf]) cv.addEventListener('wheel', ev=>{
+  ev.preventDefault();
+  const step = (ev.shiftKey ? 1000 : 100) * (ev.deltaY < 0 ? 1 : -1);
+  post('/tune', {freq_hz: view.tune_hz + step});
+}, {passive:false});
 </script></body></html>"""
 
 
