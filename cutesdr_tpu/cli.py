@@ -500,9 +500,13 @@ def cmd_serve(args) -> int:
                              on_filter=sess.set_filter).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
+        # radio-reported A/D overload shows as a timed transient, OR'd with
+        # the signal-derived flag (gui/mainwindow.cpp:776-782)
+        ad_transient = {"until": 0.0}
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=sess.metrics.smeter_ave_db,
-            overload=sess.metrics.overload)
+            overload=(sess.metrics.overload
+                      or _time.time() < ad_transient["until"]))
     if args.audio_device == "list":
         from cutesdr_tpu.io.audio_device import list_devices
         for name in list_devices() or ["(no output devices / backend)"]:
@@ -527,6 +531,10 @@ def cmd_serve(args) -> int:
             sess.pump(iq)
             if not args.channels:
                 _apply_spur_cal(source, sess.receiver)
+                client = getattr(source, "client", None)
+                if client is not None and client.ad_overload:
+                    client.ad_overload = False
+                    ad_transient["until"] = _time.time() + 1.5
             # pace roughly to real time for generator sources (live radio
             # sources pace themselves)
             if ((args.realtime or speaker is not None)

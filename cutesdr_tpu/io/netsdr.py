@@ -159,6 +159,9 @@ class SdrClient:
     option_freq_max: int = 30_000_000
     current_frequency: int = 0
     missed_packets: int = 0
+    # latched on an unsolicited A/D-overload status; consumer clears it
+    # (the reference shows a timed red status, gui/mainwindow.cpp:776-782)
+    ad_overload: bool = False
 
     def __post_init__(self):
         self._assembler = StreamAssembler()
@@ -456,6 +459,7 @@ class SdrClient:
             if msg.citem() == ci.GENERAL_STATUS_CODE:
                 msg.rewind()
                 if msg.get_u8() == ci.STATUS_ADOVERLOAD:
+                    self.ad_overload = True
                     self._set_status(Status.ADOVR)
         elif t == ascp.TYPE_DATA_ITEM_ACK and len(msg.body) >= 1:
             which = msg.body[0]

@@ -515,3 +515,19 @@ def test_apply_spur_cal_feeds_receiver_dc_offset():
     _apply_spur_cal(src, rx)
     _apply_spur_cal(src, rx)          # unchanged: no second call
     assert calls == [(0.5, -0.25)]
+
+
+def test_unsolicited_ad_overload_latches_flag():
+    """Unsolicited STATUS_ADOVERLOAD latches client.ad_overload for the UI
+    transient (interface/sdrinterface.cpp:346-357)."""
+    from cutesdr_tpu.io import ascp as A
+    from cutesdr_tpu.io.ascp import AscpMessage, ci
+    from cutesdr_tpu.io.netsdr import SdrClient, Status
+
+    c = SdrClient()
+    m = AscpMessage(A.TYPE_TARG_UNSOLICITED_CITEM)
+    m.add_citem(ci.GENERAL_STATUS_CODE)
+    m.add_u8(ci.STATUS_ADOVERLOAD)
+    c._parse_message(AscpMessage.from_bytes(m.to_bytes()))
+    assert c.ad_overload is True
+    assert c.status == Status.ADOVR
