@@ -90,6 +90,20 @@ def _apply_radio_rate(args) -> None:
     args.fs = fs
 
 
+def _radio_db_cal(args) -> float:
+    """Display-dB calibration for radio sources: per-radio offset minus the
+    RF attenuation, so the spectrum/S-meter read ~dBm at the antenna
+    connector (interface/sdrinterface.cpp:627-646)."""
+    from cutesdr_tpu.io.netsdr import (GAIN_CAL, SDRIQ_6620FILTERGAIN,
+                                       RadioType)
+    rt = _radio_type(args)
+    if rt in (RadioType.SDRIQ, RadioType.SDR14):
+        cal = -49.0 + SDRIQ_6620FILTERGAIN[args.bw_index]
+    else:
+        cal = GAIN_CAL[rt]
+    return cal - args.rf_gain
+
+
 def _apply_spur_cal(source, receiver) -> None:
     """Feed the radio client's learned NCO-spur DC offsets into the
     pipeline's per-sample subtraction (the reference applies them inside
@@ -466,11 +480,24 @@ def cmd_serve(args) -> int:
     if args.settings:
         from cutesdr_tpu.settings import SessionSettings
         settings = SessionSettings.load(args.settings)
+    # radio sources: calibrate the display dB scale to ~dBm at the antenna
+    spectrum_cfg = None
+    if args.source.startswith("radio:"):
+        from cutesdr_tpu.pipeline.spectrum import SpectrumConfig
+        disp = settings.display if settings else None
+        spectrum_cfg = SpectrumConfig(
+            fft_size=disp.fft_size if disp else 4096,
+            ave_size=disp.fft_ave if disp else 1,
+            sample_rate=args.fs, db_compensation=_radio_db_cal(args))
     if args.channels:
         from cutesdr_tpu.bank import BankSession
         freqs = [float(x) for x in args.channels.split(",")]
-        sess = (BankSession(cfg, freqs, settings=settings) if settings
-                else BankSession(cfg, freqs))
+        kw = {}
+        if settings is not None:
+            kw["settings"] = settings
+        if spectrum_cfg is not None:
+            kw["spectrum_cfg"] = spectrum_cfg
+        sess = BankSession(cfg, freqs, **kw)
 
         def on_select(i):
             m = sess.select(i)
@@ -487,8 +514,12 @@ def cmd_serve(args) -> int:
             channels=sess.channel_info(),
             overload=sess.analyzer.overload)
     else:
-        sess = (ReceiverSession(cfg, settings=settings) if settings
-                else ReceiverSession(cfg))
+        kw = {}
+        if settings is not None:
+            kw["settings"] = settings
+        if spectrum_cfg is not None:
+            kw["spectrum_cfg"] = spectrum_cfg
+        sess = ReceiverSession(cfg, **kw)
         if settings is not None and (settings.radio.spur_offset_i
                                      or settings.radio.spur_offset_q):
             # saved NCO-spur cal applies from the first sample
