@@ -403,11 +403,15 @@ def cmd_record(args) -> int:
                   file=sys.stderr)
             time.sleep(wait)
 
+    # radio captures carry the RF center; generator captures the tune freq
+    f0 = (args.center if getattr(args, "center", None) is not None
+          and args.source.startswith("radio:") else args.freq)
+
     def make_writer():
         if args.legacy:
             return RawIQWriter(args.out, args.fmt)
         return SigMFWriter(args.out, "cf32" if args.fmt == "npy" else args.fmt,
-                           sample_rate=args.fs, center_freq=args.freq,
+                           sample_rate=args.fs, center_freq=f0,
                            description=f"cutesdr-tpu record --source={args.source}")
 
     n_total = 0
@@ -447,7 +451,7 @@ def cmd_record(args) -> int:
         meta = {
             "format": args.fmt,
             "sample_rate": args.fs,
-            "center_frequency": args.freq,
+            "center_frequency": f0,
             "samples": n_total,
             "datetime": datetime.datetime.now(
                 datetime.timezone.utc).isoformat(),
