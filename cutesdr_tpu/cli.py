@@ -345,10 +345,16 @@ def cmd_run(args) -> int:
 def cmd_spectrum(args) -> int:
     from cutesdr_tpu.pipeline.spectrum import SpectrumAnalyzer, SpectrumConfig
 
+    _apply_radio_rate(args)
+    is_radio = args.source.startswith("radio:")
     cfg = SpectrumConfig(fft_size=args.fft_size, ave_size=args.ave,
-                         sample_rate=args.fs)
+                         sample_rate=args.fs,
+                         db_compensation=_radio_db_cal(args) if is_radio
+                         else 0.0)
     sa = SpectrumAnalyzer(cfg, max_display_rate=1000.0)
-    args.mode, args.freq = "usb", 0.0
+    args.mode = "usb"
+    if not is_radio:                       # keep --freq/--center for radio:
+        args.freq = 0.0
     args.low_cut = args.hi_cut = None
     source = _make_source(args, cfg.fft_size)
     frames = 0
@@ -358,6 +364,8 @@ def cmd_spectrum(args) -> int:
             break
         if sa.feed(np.asarray(iq, np.complex64)):
             frames += 1
+    if hasattr(source, "close"):
+        source.close()
     db = sa.spectrum_db()
     if args.out:
         np.save(args.out, db)
@@ -447,6 +455,8 @@ def cmd_record(args) -> int:
             n_total += len(iq)
         w.close()
 
+    if hasattr(source, "close"):
+        source.close()
     if args.legacy:
         meta = {
             "format": args.fmt,
