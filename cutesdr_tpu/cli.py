@@ -34,7 +34,10 @@ def _add_receiver_args(p: argparse.ArgumentParser,
     p.add_argument("--rf-gain", type=int, default=0,
                    help="RF attenuation: 0/-10/-20/-30 dB")
     p.add_argument("--center", type=float, default=None,
-                   help="radio RF center frequency Hz (default: --freq)")
+                   help="radio RF center frequency Hz; with radio: sources "
+                        "--freq is the absolute station frequency and the "
+                        "NCO mixes only --freq minus --center (default: "
+                        "center on the station)")
     p.add_argument("--fs", type=float, default=2e6, help="input sample rate")
     p.add_argument("--mode", default="usb",
                    choices=["am", "sam", "fm", "usb", "lsb", "cwu", "cwl"])
@@ -78,7 +81,11 @@ def _radio_type(args):
 def _apply_radio_rate(args) -> None:
     """For radio: sources the device's rate table dictates the sample rate
     (interface/sdrinterface.cpp:51-114) — override --fs before the pipeline
-    is configured."""
+    is configured.  Also resolves the RF-center / baseband-tune split: the
+    radio centers its digitized band on --center (default: --freq, i.e.
+    center on the station) and the pipeline NCO only mixes by the remaining
+    baseband offset --freq − center (the reference's demod-vs-center
+    algebra, SetDemodFreq(center − demod) at gui/mainwindow.cpp:835-841)."""
     if not args.source.startswith("radio:"):
         return
     from cutesdr_tpu.io.netsdr import RATE_TABLES
@@ -88,20 +95,20 @@ def _apply_radio_rate(args) -> None:
               f"bandwidth-index {args.bw_index} rate {fs:.0f} Hz",
               file=sys.stderr)
     args.fs = fs
+    if args.center is None:
+        args.center = args.freq
+    args.freq = args.freq - args.center        # baseband tune for the NCO
+    if abs(args.freq) > fs / 2:
+        raise SystemExit(f"--freq is {args.freq:.0f} Hz from --center — "
+                         f"outside the ±{fs/2:.0f} Hz digitized band")
 
 
 def _radio_db_cal(args) -> float:
     """Display-dB calibration for radio sources: per-radio offset minus the
     RF attenuation, so the spectrum/S-meter read ~dBm at the antenna
     connector (interface/sdrinterface.cpp:627-646)."""
-    from cutesdr_tpu.io.netsdr import (GAIN_CAL, SDRIQ_6620FILTERGAIN,
-                                       RadioType)
-    rt = _radio_type(args)
-    if rt in (RadioType.SDRIQ, RadioType.SDR14):
-        cal = -49.0 + SDRIQ_6620FILTERGAIN[args.bw_index]
-    else:
-        cal = GAIN_CAL[rt]
-    return cal - args.rf_gain
+    from cutesdr_tpu.io.netsdr import gain_cal_offset
+    return gain_cal_offset(_radio_type(args), args.bw_index) - args.rf_gain
 
 
 def _apply_spur_cal(source, receiver) -> None:
@@ -161,6 +168,11 @@ class _RadioSource:
                                radio_type=_radio_type(args),
                                bandwidth_index=args.bw_index,
                                rf_gain=args.rf_gain, on_iq=self._on_iq)
+            # resume a previously learned NCO-spur cal (QSettings restore,
+            # gui/mainwindow.cpp:311-316): the EMA continues converged
+            # instead of restarting from zero and clobbering the saved value
+            client._spur_i, client._spur_q = getattr(
+                args, "_spur_seed", (0.0, 0.0))
             await client.connect()
             await asyncio.sleep(0.5)          # let the handshake fill in
             client.set_bandwidth_index(args.bw_index)
@@ -486,6 +498,11 @@ def cmd_serve(args) -> int:
 
     from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
 
+    if args.audio_device == "list":    # pure enumeration: no session needed
+        from cutesdr_tpu.io.audio_device import list_devices
+        for name in list_devices() or ["(no output devices / backend)"]:
+            print(name)
+        return 0
     _apply_radio_rate(args)
     cfg = _cfg_from_args(args)
     # settings persistence (the MainWindow QSettings workflow,
@@ -494,6 +511,9 @@ def cmd_serve(args) -> int:
     if args.settings:
         from cutesdr_tpu.settings import SessionSettings
         settings = SessionSettings.load(args.settings)
+    if settings is not None:
+        args._spur_seed = (settings.radio.spur_offset_i,
+                           settings.radio.spur_offset_q)
     # radio sources: calibrate the display dB scale to ~dBm at the antenna
     spectrum_cfg = None
     if args.source.startswith("radio:"):
@@ -522,7 +542,9 @@ def cmd_serve(args) -> int:
                              on_tune=sess.tune_clicked,
                              on_select=on_select).start()
         srv.set_view(tune_hz=freqs[0], low_hz=cfg.low_cut,
-                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
+                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
+                     click_res=sess.settings.demod[cfg.mode]
+                     .filter_click_resolution)
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=float(sess.smeter_db[sess.monitor]),
             channels=sess.channel_info(),
@@ -544,7 +566,9 @@ def cmd_serve(args) -> int:
                              on_tune=sess.tune_clicked,
                              on_filter=sess.set_filter).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
-                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4])
+                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
+                     click_res=sess.settings.demod[cfg.mode]
+                     .filter_click_resolution)
         # radio-reported A/D overload shows as a timed transient, OR'd with
         # the signal-derived flag (gui/mainwindow.cpp:776-782)
         ad_transient = {"until": 0.0}
@@ -552,12 +576,6 @@ def cmd_serve(args) -> int:
             db, smeter_db=sess.metrics.smeter_ave_db,
             overload=(sess.metrics.overload
                       or _time.time() < ad_transient["until"]))
-    if args.audio_device == "list":
-        from cutesdr_tpu.io.audio_device import list_devices
-        for name in list_devices() or ["(no output devices / backend)"]:
-            print(name)
-        srv.stop()
-        return 0
     source = _make_source(args, cfg.block_size)
     speaker = None
     if args.audio:
@@ -588,6 +606,7 @@ def cmd_serve(args) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        sess.stop()                   # drains in-flight pipelined steps
         if speaker is not None:
             speaker.stop()
         if hasattr(source, "close"):
@@ -607,17 +626,20 @@ def _save_serve_settings(args, sess, source, settings) -> None:
     settings.nb_on = sess.cfg.nb_on
     settings.nb_threshold = sess.cfg.nb_threshold
     settings.nb_width_us = sess.cfg.nb_width_us
+    # schema relation: baseband tune = demod_frequency - center_frequency
+    # (settings.receiver_config_from_settings)
     tune = getattr(sess, "current_tune", None)
-    if tune is not None:
-        settings.radio.demod_frequency = int(tune)
     client = getattr(source, "client", None)
+    center = int(client.current_frequency) if client is not None else 0
+    settings.radio.center_frequency = center
+    if tune is not None:
+        settings.radio.demod_frequency = center + int(tune)
     if client is not None:
         settings.radio.ip = client.host
         settings.radio.port = client.port
         settings.radio.radio_type = client.radio_type.value
         settings.radio.bandwidth_index = client.bandwidth_index
         settings.radio.rf_gain = client.rf_gain
-        settings.radio.center_frequency = int(client.current_frequency)
         i, q = client.spur_offsets
         settings.radio.spur_offset_i = i
         settings.radio.spur_offset_q = q

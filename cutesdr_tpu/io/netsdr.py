@@ -71,6 +71,14 @@ GAIN_CAL = {RadioType.SDRIP: -10.0, RadioType.NETSDR: -12.0}
 SDRIQ_6620FILTERGAIN = (0.0, 8.0, 11.0, 22.0)
 
 
+def gain_cal_offset(radio_type: RadioType, bandwidth_index: int) -> float:
+    """Per-radio display-dB calibration (~dBm at the antenna connector,
+    interface/sdrinterface.cpp:627-646)."""
+    if radio_type in (RadioType.SDR14, RadioType.SDRIQ):
+        return -49.0 + SDRIQ_6620FILTERGAIN[bandwidth_index]
+    return GAIN_CAL[radio_type]
+
+
 def decode_iq_packet(data: bytes) -> tuple[int, np.ndarray] | None:
     """Decode one UDP data packet -> (sequence_number, complex64 samples).
 
@@ -305,9 +313,7 @@ class SdrClient:
 
     @property
     def gain_calibration_offset(self) -> float:
-        if self.radio_type in (RadioType.SDR14, RadioType.SDRIQ):
-            return -49.0 + SDRIQ_6620FILTERGAIN[self.bandwidth_index]
-        return GAIN_CAL[self.radio_type]
+        return gain_cal_offset(self.radio_type, self.bandwidth_index)
 
     def request_info(self) -> None:
         """Handshake burst (interface/sdrinterface.cpp:440-467)."""

@@ -111,8 +111,10 @@ function pxDb(d, x){
 }
 function drawFrame(d){
   lastFrame = d;
+  wheelTarget = null;        // frame confirms the tune; next wheel re-bases
   Object.assign(view, {tune_hz:d.tune_hz, low_hz:d.low_hz, hi_hz:d.hi_hz,
-    symmetric:d.symmetric, sample_rate:d.sample_rate});
+    symmetric:d.symmetric, sample_rate:d.sample_rate,
+    click_res:d.click_res ?? view.click_res});
   document.getElementById('status').textContent =
     `fs=${d.sample_rate} Hz  tune=${(d.tune_hz/1e3).toFixed(3)} kHz  `+
     `filter ${d.low_hz}..${d.hi_hz} Hz  `+
@@ -205,10 +207,19 @@ function applySplit(){
   wf.height = TOTAL_H - spec.height;
   if (lastFrame) drawFrame(lastFrame);
 }
+function fixRange(movedMax){   // keep a sane span: degenerate range = NaN y
+  if (maxdb - mindb < 5) {
+    if (movedMax) mindb = maxdb - 5; else maxdb = mindb + 5;
+    document.getElementById('maxdb').value = maxdb;
+    document.getElementById('mindb').value = mindb;
+  }
+}
 document.getElementById('maxdb').onchange = e => {
-  maxdb = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
+  maxdb = +e.target.value; fixRange(true);
+  if (lastFrame) drawFrame(lastFrame); };
 document.getElementById('mindb').onchange = e => {
-  mindb = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
+  mindb = +e.target.value; fixRange(false);
+  if (lastFrame) drawFrame(lastFrame); };
 document.getElementById('zoom').onchange = e => {
   zoom = +e.target.value; if (lastFrame) drawFrame(lastFrame); };
 document.getElementById('pal').onchange = e => {
@@ -245,9 +256,19 @@ function hitTest(x){
   if (Math.abs(x - fx(view.tune_hz)) < HIT) return 'center';
   return null;
 }
+let postTimer = null, postQueued = null;
 async function post(path, body){
   const now = Date.now();
-  if (now - lastPost < 50) return;      // throttle drag updates
+  if (now - lastPost < 50) {            // throttle drag updates, but keep
+    postQueued = [path, body];          // the trailing one so the final
+    if (!postTimer)                     // position always lands
+      postTimer = setTimeout(() => {
+        postTimer = null;
+        const q = postQueued; postQueued = null;
+        if (q) post(q[0], q[1]);
+      }, 60);
+    return;
+  }
   lastPost = now;
   const r = await fetch(path, {method:'POST', body: JSON.stringify(body)});
   if (r.status === 200) { const d = await r.json(); Object.assign(view, d); }
@@ -273,11 +294,16 @@ window.addEventListener('mouseup', ev=>{
   drag = null;
 });
 // wheel tuning (gui/plotter.cpp wheelEvent): one click-resolution step per
-// notch, x10 with shift; the server snaps to the mode's resolution
+// notch, x10 with shift.  Steps accumulate into wheelTarget so rapid
+// notches within one display frame each count (view.tune_hz only updates
+// per SSE frame); the target resets when a frame confirms the tune.
+let wheelTarget = null;
 for (const cv of [spec, wf]) cv.addEventListener('wheel', ev=>{
   ev.preventDefault();
-  const step = (ev.shiftKey ? 1000 : 100) * (ev.deltaY < 0 ? 1 : -1);
-  post('/tune', {freq_hz: view.tune_hz + step});
+  const res = view.click_res || 100;
+  const step = res * (ev.shiftKey ? 10 : 1) * (ev.deltaY < 0 ? 1 : -1);
+  wheelTarget = (wheelTarget ?? view.tune_hz) + step;
+  post('/tune', {freq_hz: wheelTarget});
 }, {passive:false});
 </script></body></html>"""
 

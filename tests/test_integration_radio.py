@@ -174,9 +174,13 @@ def test_cli_run_from_live_radio(tmp_path):
     assert started.wait(10.0)
 
     out = str(tmp_path / "radio.wav")
+    # --center 0: the fake's tone is at an absolute baseband frequency (it
+    # ignores set_frequency), so the demod tune is the full 10 kHz offset.
+    # Without --center the CLI would center the radio ON the station and
+    # tune the NCO to baseband 0 (the real-radio algebra).
     rc = cli.main(["run", "--source", f"radio:127.0.0.1:{radio_box['port']}",
                    "--radio-type", "netsdr", "--bw-index", "1",
-                   "--mode", "usb", "--freq", "10000",
+                   "--mode", "usb", "--freq", "10000", "--center", "0",
                    "--seconds", "0.4", "--out", out])
     radio_box["stop"].set()
     assert rc == 0
@@ -190,3 +194,28 @@ def test_cli_run_from_live_radio(tmp_path):
     spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
     f_pk = np.fft.rfftfreq(len(a), 1 / 48000.0)[int(np.argmax(spec))]
     assert abs(f_pk - 1000.0) < 50.0, f_pk
+
+
+def test_radio_center_tune_algebra():
+    """--freq is the absolute RF station; the radio centers on --center
+    (default: the station) and the pipeline NCO mixes only the baseband
+    remainder (gui/mainwindow.cpp:835-841 algebra)."""
+    import argparse
+
+    from cutesdr_tpu.cli import _apply_radio_rate
+
+    def mk(**kw):
+        return argparse.Namespace(source="radio:h", radio_type="netsdr",
+                                  bw_index=1, fs=2e6, **kw)
+
+    a = mk(freq=7_100_000.0, center=None)     # center on the station
+    _apply_radio_rate(a)
+    assert a.center == 7_100_000.0 and a.freq == 0.0 and a.fs == 250_000.0
+
+    a = mk(freq=7_101_000.0, center=7_100_000.0)   # explicit center
+    _apply_radio_rate(a)
+    assert a.freq == 1000.0
+
+    a = mk(freq=8_000_000.0, center=7_000_000.0)   # outside the band
+    with pytest.raises(SystemExit):
+        _apply_radio_rate(a)

@@ -88,4 +88,5 @@ def test_serve_settings_roundtrip(tmp_path):
     assert doc["volume"] == 42                        # loaded + preserved
     assert doc["demod_mode"] == "usb"                 # last-used mode saved
     assert doc["radio"]["demod_frequency"] == 100000  # last tune saved
+    assert doc["radio"]["center_frequency"] == 0      # schema: tune=demod-center
     assert doc["demod"]["usb"]["hi_cut"] == 2500.0    # table roundtrips
