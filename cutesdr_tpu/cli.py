@@ -562,11 +562,24 @@ def cmd_serve(args) -> int:
             # (gui/mainwindow.cpp:311-316 restores it from QSettings)
             sess.receiver.set_dc_offset(settings.radio.spur_offset_i,
                                         settings.radio.spur_offset_q)
+
+        def on_mode(mode):
+            # the demod-setup dialog's mode switch, glitch-free
+            sess.set_mode(mode)
+            c = sess.cfg
+            srv.set_view(low_hz=c.low_cut, hi_hz=c.hi_cut,
+                         symmetric=MODE_LIMITS[mode][4],
+                         click_res=sess.settings.demod[mode]
+                         .filter_click_resolution)
+            return mode
+
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
-                             on_filter=sess.set_filter).start()
+                             on_filter=sess.set_filter,
+                             on_mode=on_mode).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
+                     mode=cfg.mode,
                      click_res=sess.settings.demod[cfg.mode]
                      .filter_click_resolution)
         # radio-reported A/D overload shows as a timed transient, OR'd with

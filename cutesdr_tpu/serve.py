@@ -42,6 +42,9 @@ canvas{display:block;margin-top:4px;image-rendering:pixelated}
 </style></head><body>
 <div id="bar">cutesdr-tpu — <span id="status">connecting…</span></div>
 <div id="ctl">
+ <select id="mode" style="display:none"><option>am</option><option>sam</option>
+   <option>fm</option><option>usb</option><option>lsb</option>
+   <option>cwu</option><option>cwl</option></select>
  max dB <input id="maxdb" type="number" value="0" step="5">
  min dB <input id="mindb" type="number" value="-120" step="5">
  zoom <select id="zoom"><option>1</option><option>2</option><option>4</option>
@@ -115,6 +118,7 @@ function drawFrame(d){
   Object.assign(view, {tune_hz:d.tune_hz, low_hz:d.low_hz, hi_hz:d.hi_hz,
     symmetric:d.symmetric, sample_rate:d.sample_rate,
     click_res:d.click_res ?? view.click_res});
+  syncMode(d);
   document.getElementById('status').textContent =
     `fs=${d.sample_rate} Hz  tune=${(d.tune_hz/1e3).toFixed(3)} kHz  `+
     `filter ${d.low_hz}..${d.hi_hz} Hz  `+
@@ -228,6 +232,15 @@ document.getElementById('pal').onchange = e => {
 document.getElementById('split').oninput = e => {
   pct2d = +e.target.value; applySplit(); };
 applySplit();
+// demod mode selector (the demod-setup dialog's radio buttons); shown only
+// when the server exposes a mode (single-receiver sessions)
+const modeSel = document.getElementById('mode');
+modeSel.onchange = e => post('/mode', {mode: e.target.value});
+function syncMode(d){
+  if (!d.mode) return;
+  modeSel.style.display = '';
+  if (document.activeElement !== modeSel) modeSel.value = d.mode;
+}
 // --- push channel (SSE), with poll fallback ---
 let gotFirst = false;
 function connect(){
@@ -321,7 +334,7 @@ class SpectrumServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  sample_rate: float = 2e6, min_db: float = -120.0,
                  max_db: float = 0.0, on_tune=None, on_filter=None,
-                 on_select=None):
+                 on_select=None, on_mode=None):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
         self._overload = False
@@ -334,6 +347,7 @@ class SpectrumServer:
         self.min_db, self.max_db = min_db, max_db
         self.on_tune = on_tune
         self.on_filter = on_filter
+        self.on_mode = on_mode
         self.view = {"tune_hz": 0.0, "low_hz": -5000.0, "hi_hz": 5000.0,
                      "symmetric": False}
         outer = self
@@ -402,6 +416,13 @@ class SpectrumServer:
                     self._send(json.dumps(
                         {"selected": int(applied)}).encode(),
                         "application/json")
+                elif self.path == "/mode" and outer.on_mode:
+                    applied = outer.on_mode(str(req.get("mode", "usb")))
+                    with outer._cond:
+                        if applied:
+                            outer.view["mode"] = applied
+                    self._send(json.dumps({"mode": applied}).encode(),
+                               "application/json")
                 elif self.path == "/filter" and outer.on_filter:
                     lo = float(req.get("low_hz", outer.view["low_hz"]))
                     hi = float(req.get("hi_hz", outer.view["hi_hz"]))

@@ -182,3 +182,51 @@ def test_stage_timer():
     assert "square" in rep and "ns/samp" in rep
     assert len(t.stats["square"]) == 3
     assert len(t.stats["interval"]) == 2
+
+
+def test_mode_switch_endpoint():
+    """POST /mode drives session.set_mode (glitch-free program switch) and
+    the frame reflects the new mode + filter edges."""
+    import json
+    import urllib.request
+
+    from cutesdr_tpu.pipeline.receiver import MODE_LIMITS, ReceiverConfig
+    from cutesdr_tpu.serve import SpectrumServer
+    from cutesdr_tpu.session import ReceiverSession
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=10_000.0, audio_rate=None)
+    sess = ReceiverSession(cfg)
+    sess.start()
+
+    def on_mode(mode):
+        sess.set_mode(mode)
+        c = sess.cfg
+        srv.set_view(low_hz=c.low_cut, hi_hz=c.hi_cut,
+                     symmetric=MODE_LIMITS[mode][4])
+        return mode
+
+    srv = SpectrumServer(port=0, sample_rate=cfg.input_rate,
+                         on_mode=on_mode).start()
+    srv.set_view(mode=cfg.mode, tune_hz=cfg.tune_freq,
+                 low_hz=cfg.low_cut, hi_hz=cfg.hi_cut)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/mode",
+            data=json.dumps({"mode": "am"}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["mode"] == "am"
+        assert sess.cfg.mode == "am"
+        frame = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/spectrum.json").read())
+        assert frame["mode"] == "am"
+        assert frame["symmetric"] is True          # AM is a symmetric mode
+        # stream continues through the switched program
+        import numpy as np
+        n = sess.cfg.block_size
+        sess.pump(np.zeros(2 * n, np.complex64))
+        assert sess.metrics.blocks >= 1
+    finally:
+        sess.stop()
+        srv.stop()
