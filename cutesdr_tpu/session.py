@@ -57,16 +57,24 @@ class ReceiverSession:
     # (interface/netiobase.cpp:571-600) via XLA's async dispatch.  depth=1
     # is fully synchronous (materialize every step immediately).
     pipeline_depth: int = 2
+    # program-cache bound: a long-running serve walking many configs would
+    # otherwise accumulate compiled programs + device state without limit;
+    # least-recently-used Receivers beyond this are dropped (their stream
+    # state migrates forward on every switch, so eviction only costs a
+    # recompile on revisit).
+    max_cached_programs: int = 12
 
     def __post_init__(self):
+        from collections import OrderedDict
         self.receiver = Receiver(self.cfg)
         self.receiver.set_volume(self.settings.volume)
-        # bucketed program cache: one Receiver (compiled step + stream
+        # bucketed LRU program cache: one Receiver (compiled step + stream
         # state donor) per static configuration seen, so mode walks are
         # compile-free after the first visit (the reference's equivalent is
         # the per-mode demod objects it can rebuild under mutex,
         # dsp/demodulator.cpp:107-157)
-        self._receivers: dict = {self._cfg_key(self.cfg): self.receiver}
+        self._receivers: "OrderedDict" = OrderedDict(
+            {self._cfg_key(self.cfg): self.receiver})
         if self.spectrum_cfg is None:
             self.spectrum_cfg = SpectrumConfig(
                 fft_size=self.settings.display.fft_size,
@@ -168,6 +176,17 @@ class ReceiverSession:
         from dataclasses import astuple
         return astuple(cfg)
 
+    def _touch(self, key) -> None:
+        """Mark a cached program most-recently-used and evict beyond the
+        bound (never the just-touched program or the active receiver)."""
+        self._receivers.move_to_end(key)
+        keep = {key, self._cfg_key(self.cfg)}
+        while len(self._receivers) > max(1, self.max_cached_programs):
+            oldest = next((k for k in self._receivers if k not in keep), None)
+            if oldest is None:
+                break
+            self._receivers.pop(oldest)
+
     def _switch_to(self, new_cfg: ReceiverConfig) -> None:
         """Swap the compiled program and migrate the stream state.
 
@@ -183,6 +202,7 @@ class ReceiverSession:
         if nxt is None:
             nxt = Receiver(new_cfg)
             self._receivers[key] = nxt
+        self._touch(key)
         nxt.state = migrate_state(old_cfg, old_state, new_cfg, nxt.state)
         nxt.params = nxt.params._replace(
             audio_gain=self.receiver.params.audio_gain,
@@ -243,6 +263,7 @@ class ReceiverSession:
                 continue
             rx = Receiver(cfg)
             self._receivers[key] = rx
+            self._touch(key)
             # trace+compile the production planes path now (throwaway zero
             # block; state unchanged).  Host zeros, not jnp complex zeros:
             # eager complex creation breaks on the axon tunnel (CLAUDE.md).

@@ -1,0 +1,211 @@
+"""Generate the committed recorded-IQ fixtures + per-mode golden audio.
+
+For each demod mode this records a deterministic testbench stimulus (the
+reference's signal-generator methodology, gui/testbench.cpp:352-447: swept /
+fixed tone, optional pulse modulation, calibrated Gaussian noise) and runs
+it through the float64 per-sample ORACLE chain (tests/oracles.py — math
+re-derived from the reference's documented semantics, independent of the
+production JAX ops):
+
+    NCO mix -> halfband/CIC cascade -> 2048/1025 overlap-save bandpass ->
+    AGC -> per-mode demod (Re / envelope+DC+postFIR / SAM PLL / FM PLL+LP)
+
+The result is PINNED on disk (tests/fixtures/golden_<mode>.npz).  The test
+(tests/test_golden_fixtures.py) replays the same IQ through the f32
+production chain and asserts the SNR against the pinned audio — so any
+regression that shifts the whole chain, even one that would track a
+re-derived oracle, moves a committed number and fails (VERDICT r2 item 2).
+
+Run once to (re)generate:  python tests/make_golden.py
+Regeneration is only legitimate when the *reference semantics* change.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")   # generation is a CPU-only job
+
+import oracles  # noqa: E402
+from cutesdr_tpu.design.fastfir_design import design_fastfir  # noqa: E402
+from cutesdr_tpu.design.fir_kaiser import design_lowpass  # noqa: E402
+from cutesdr_tpu.design.iir_biquad import biquad_lowpass  # noqa: E402
+from cutesdr_tpu.ops import agc as agc_mod  # noqa: E402
+from cutesdr_tpu.pipeline.receiver import ReceiverConfig  # noqa: E402
+from cutesdr_tpu.testbench.generators import GenConfig, SignalGenerator  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+N_BLOCKS = 4
+FS = 250_000.0
+TUNE = 60_000.0
+
+# PLL modes (sam/fm) need special handling: (a) input noise decorrelates
+# through the nonlinear loop, so with noise present the f32-vs-f64 "error"
+# measures two different noise realizations, not regressions — their
+# stimuli are noise-free; (b) the acquisition transient (AGC charge +
+# PLL lock at ~15 ms, where tiny rounding shifts the lock instant) is
+# excluded by pinning skip to the first half of a longer record.
+N_BLOCKS_BY_MODE = {"sam": 8, "fm": 8}
+SKIP_FRACTION = {"sam": 0.5, "fm": 0.5}
+
+# Per-mode stimulus (testbench generator settings) — chosen so every
+# sequential loop (AGC, PLLs) stays in its locked/contracting regime, where
+# the f32-vs-f64 trajectory difference is bounded instead of chaotic.
+STIMULI = {
+    "usb": dict(sweep_start_hz=TUNE + 500.0, sweep_stop_hz=TUNE + 2500.0,
+                sweep_rate_hz_per_sec=2000.0, signal_power_db=-30.0,
+                noise_power_db=-70.0),
+    "lsb": dict(sweep_start_hz=TUNE - 2500.0, sweep_stop_hz=TUNE - 500.0,
+                sweep_rate_hz_per_sec=2000.0, signal_power_db=-30.0,
+                noise_power_db=-70.0),
+    "cwu": dict(sweep_start_hz=TUNE + 550.0, sweep_stop_hz=TUNE + 650.0,
+                sweep_rate_hz_per_sec=100.0, signal_power_db=-40.0,
+                noise_power_db=-80.0),
+    # pulse modulation = on/off keying: the AM envelope detector's test
+    # signal (carrier fixed at the tune frequency)
+    "am":  dict(sweep_start_hz=TUNE, sweep_stop_hz=TUNE,
+                sweep_rate_hz_per_sec=0.0, signal_power_db=-25.0,
+                noise_power_db=-75.0, pulse_width_sec=0.01,
+                pulse_period_sec=0.04),
+    # sam: synthesized AM (coherent carrier at +100 Hz, 50% modulation at
+    # 400 Hz) — the generator's swept tone has no envelope, and SAM of an
+    # unmodulated carrier is DC-removed to ~zero.  Handled in main().
+    "sam": dict(carrier_offset_hz=100.0, mod_hz=400.0, mod_depth=0.5,
+                signal_power_db=-25.0),
+    # swept carrier inside the FM passband: the PLL tracks a frequency ramp
+    "fm":  dict(sweep_start_hz=TUNE - 2000.0, sweep_stop_hz=TUNE + 2000.0,
+                sweep_rate_hz_per_sec=4000.0, signal_power_db=-25.0,
+                noise_power_db=-160.0),
+}
+
+CW_OFFSET = {"cwu": 600.0}
+
+
+def mode_cfg(mode: str) -> ReceiverConfig:
+    return ReceiverConfig(input_rate=FS, mode=mode, tune_freq=TUNE,
+                          cw_offset=CW_OFFSET.get(mode, 0.0),
+                          audio_rate=None, agc_on=True, agc_thresh_db=-90.0)
+
+
+def biquad_df2(coefs, x):
+    """Direct-form-2 biquad recurrence in float64 (dsp/iir.cpp:171-201),
+    zero initial state."""
+    b0, b1, b2, a1, a2 = coefs
+    w1 = w2 = 0.0
+    out = np.empty(len(x))
+    for n, v in enumerate(x):
+        w0 = v - a1 * w1 - a2 * w2
+        out[n] = b0 * w0 + b1 * w1 + b2 * w2
+        w2, w1 = w1, w0
+    return out
+
+
+def oracle_chain(cfg: ReceiverConfig, x: np.ndarray) -> np.ndarray:
+    """Float64 reference-math chain for any mode (audio_rate=None)."""
+    n = np.arange(len(x))
+    f = cfg.tune_freq - cfg.cw_offset
+    inc = np.round(-f / cfg.input_rate * 2.0 ** 32) / 2.0 ** 32
+    mixed = x.astype(np.complex128) * np.exp(1j * 2 * np.pi * inc * n)
+
+    dec = oracles.CascadeOracle(cfg.plan)(mixed)
+    h = design_fastfir(cfg.low_cut, cfg.hi_cut, cfg.cw_offset,
+                       cfg.output_rate)
+    filt = oracles.FastFirOracle(h)(dec)
+
+    acfg = agc_mod.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.output_rate)
+    lev = oracles.AgcOracle(acfg, cfg.agc_thresh_db, cfg.agc_manual_gain_db,
+                            cfg.agc_slope, cfg.agc_decay_ms)(filt)
+
+    fs = cfg.output_rate
+    if cfg.mode in ("usb", "lsb", "cwu", "cwl"):
+        return np.real(lev)
+    if cfg.mode == "am":
+        mag = np.abs(lev)
+        z1 = 0.0
+        y = np.empty(len(mag))
+        for i, m in enumerate(mag):       # H(z) = (1-z^-1)/(1-0.99 z^-1)
+            z0 = m + 0.99 * z1
+            y[i] = z0 - z1
+            z1 = z0
+        bw = (cfg.hi_cut - cfg.low_cut) / 2.0
+        taps = design_lowpass(1.0, 50.0, bw, bw * 1.8, fs)
+        return oracles.FirOracle(taps).real(y)
+    if cfg.mode == "sam":
+        return oracles.SamPllOracle(fs)(lev)
+    if cfg.mode == "fm":
+        audio = oracles.FmPllOracle(fs)(lev)
+        # squelch open (ui=0 -> threshold SQUELCH_MAX): 3 kHz voice lowpass
+        return biquad_df2(biquad_lowpass(3000.0, 1.0, fs), audio)
+    raise ValueError(cfg.mode)
+
+
+def production_audio(cfg: ReceiverConfig, x: np.ndarray,
+                     n_blocks: int = N_BLOCKS) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from cutesdr_tpu.pipeline.receiver import Receiver
+    rx = Receiver(cfg)
+    got = []
+    for b in np.split(x, n_blocks):
+        out = rx.process(jnp.asarray(b, jnp.complex64))
+        got.append(np.asarray(out.audio))
+    return np.concatenate(got)
+
+
+def snr_db(want, got, skip):
+    err = got[skip:] - want[skip:]
+    return 10 * np.log10(np.mean(want[skip:] ** 2)
+                         / max(np.mean(err ** 2), 1e-30))
+
+
+def main():
+    os.makedirs(FIXDIR, exist_ok=True)
+    for mode, stim in STIMULI.items():
+        cfg = mode_cfg(mode)
+        n_blocks = N_BLOCKS_BY_MODE.get(mode, N_BLOCKS)
+        n = cfg.block_size * n_blocks
+        if mode == "sam":
+            t = np.arange(n) / FS
+            amp = 32767.0 * 10.0 ** (stim["signal_power_db"] / 20.0)
+            env = 1.0 + stim["mod_depth"] * np.cos(2 * np.pi * stim["mod_hz"] * t)
+            x = (amp * env * np.exp(2j * np.pi
+                                    * (TUNE + stim["carrier_offset_hz"]) * t))
+        else:
+            gen = SignalGenerator(GenConfig(sample_rate=FS, **stim))
+            x = gen.next_block(n)
+        want = oracle_chain(cfg, x)
+        got = production_audio(cfg, x, n_blocks)
+        if mode in SKIP_FRACTION:            # PLL acquisition transient
+            skip = int(SKIP_FRACTION[mode] * len(want))
+        else:                                # AGC charge-up transient
+            skip = int(0.02 * cfg.output_rate)
+        snr = snr_db(want, got.astype(np.float64), skip)
+        # pin measured-minus-margin: an op-level regression moves this
+        min_snr = float(np.floor(snr - 8.0))
+        meta = dict(mode=mode, input_rate=FS, tune_freq=TUNE,
+                    cw_offset=CW_OFFSET.get(mode, 0.0), stimulus=stim,
+                    n_blocks=n_blocks, skip=skip,
+                    measured_snr_db=round(float(snr), 1),
+                    min_snr_db=min_snr)
+        path = os.path.join(FIXDIR, f"golden_{mode}.npz")
+        np.savez_compressed(
+            path,
+            iq_re=np.real(x).astype(np.float32),
+            iq_im=np.imag(x).astype(np.float32),
+            audio=want.astype(np.float64),
+            meta=json.dumps(meta))
+        print(f"{mode}: block={cfg.block_size} out_fs={cfg.output_rate:.0f} "
+              f"snr={snr:.1f} dB (pinned >= {min_snr:.0f})  -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,10 @@ def test_f32_chain_matches_f64_oracle_chain():
     err = got[skip:] - want[skip:]
     snr = 10 * np.log10(np.mean(want[skip:] ** 2)
                         / max(np.mean(err ** 2), 1e-30))
-    assert snr > 60.0, f"f32 vs f64 chain SNR {snr:.1f} dB"
+    # measured 92.7 dB (PARITY.md); assert measured-minus-margin so a
+    # regression of more than ~8 dB fails instead of coasting down to a
+    # loose floor (VERDICT r2 weak item 4)
+    assert snr > 85.0, f"f32 vs f64 chain SNR {snr:.1f} dB (measured 92.7)"
 
 
 @pytest.mark.slow
@@ -100,4 +103,5 @@ def test_bf16_front_end_snr():
     ref, q = outs["f32"][skip:], outs["bf16"][skip:]
     err = q - ref
     snr = 10 * np.log10(np.mean(ref ** 2) / max(np.mean(err ** 2), 1e-30))
-    assert snr > 40.0, f"bf16 front-end SNR {snr:.1f} dB"
+    # measured ~50 dB; tightened to measured-minus-margin
+    assert snr > 45.0, f"bf16 front-end SNR {snr:.1f} dB (measured ~50)"

@@ -90,3 +90,33 @@ def test_serve_settings_roundtrip(tmp_path):
     assert doc["radio"]["demod_frequency"] == 100000  # last tune saved
     assert doc["radio"]["center_frequency"] == 0      # schema: tune=demod-center
     assert doc["demod"]["usb"]["hi_cut"] == 2500.0    # table roundtrips
+
+
+def test_program_cache_lru_eviction():
+    """Walking more configs than max_cached_programs evicts the oldest
+    programs, keeps the active one, and stream processing stays correct
+    (VERDICT r2 item 9: a long-running serve must not accumulate compiled
+    programs without bound)."""
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb", audio_rate=None,
+                         agc_on=False)
+    sess = ReceiverSession(cfg, max_cached_programs=3)
+    sess.start()
+    x = tone(cfg.block_size, 21_000.0, cfg.input_rate, -20.0)
+    sess.pump(x)
+
+    # walk 6 distinct configs (different filter-size buckets via hi_cut is a
+    # params change, so vary the static squelch_ui field instead)
+    from dataclasses import replace
+    for k in range(6):
+        sess._switch_to(replace(sess.cfg, squelch_ui=k + 1))
+        sess.pump(x)
+    sess.flush()
+    assert len(sess._receivers) <= 3
+    assert sess._cfg_key(sess.cfg) in sess._receivers  # active survives
+
+    # revisiting an evicted config recompiles and still processes correctly
+    sess._switch_to(replace(sess.cfg, squelch_ui=1))
+    blocks = sess.pump(x)
+    sess.flush()
+    assert blocks == 1
+    assert sess.metrics.audio_samples_out > 0
