@@ -23,13 +23,20 @@ import numpy as np
 
 def _enable_compile_cache():
     """Persistent compilation cache: the axon remote-compile path is slow
-    (minutes per program), so cache compiled executables across runs."""
+    (minutes per program), so cache compiled executables across runs.
+    Pallas programs are made cache-stable by kernels._cachefix (Mosaic
+    payloads used to embed the trace callsite — see its docstring); cache
+    misses are logged to stderr so a warm run is verifiable."""
+    import logging
+
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_explain_cache_misses", True)
+    logging.getLogger("jax._src.compiler").setLevel(logging.WARNING)
 
 
 def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):

@@ -5,20 +5,26 @@ FFT through a custom call with HBM round-trips between stages).  The usual
 blocker for FFTs in Mosaic — bit-reversal / transpose passes and arbitrary
 reshapes — is designed away:
 
-  * decompose N = 2048 as n = n1 + 128·n2 (n1 ∈ [0,128), n2 ∈ [0,16)): a
-    frame *is* the native [16, 128] row-major view of the stream — no data
+  * decompose N = 128·N2 as n = n1 + 128·n2 (n1 ∈ [0,128), n2 ∈ [0,N2)): a
+    frame *is* the native [N2, 128] row-major view of the stream — no data
     movement to form it, and frame windows are row-aligned slices of the
-    [rows, 128] stream view (hop 1024 = 8 rows);
-  * four-step DFT:  S[k2, k1] = (T ⊙ (D16 @ B)) @ D128  with
+    [rows, 128] stream view (hop VALID/128 rows);
+  * four-step DFT:  S[k2, k1] = (T ⊙ (D_N2 @ B)) @ D128  with
     T[k2, n1] = W_N^{n1·k2} — the 128-point outer DFT is a native
-    128-contraction MXU matmul, the 16-point inner DFT a small matmul;
-  * the spectrum comes out in (k2, k1) order with k = k2 + 16·k1 — never
-    naturalized: H is stored pre-permuted as H2[k2, k1] = H[k2 + 16·k1]
+    128-contraction MXU matmul, the N2-point inner DFT a small matmul;
+  * the spectrum comes out in (k2, k1) order with k = k2 + N2·k1 — never
+    naturalized: H is stored pre-permuted as H2[k2, k1] = H[k2 + N2·k1]
     (still a traced, retunable param) and the inverse four-step absorbs the
     ordering symmetrically;
-  * valid overlap-save output = samples n ≥ 1024 = rows 8..15 of the
-    result — a row slice, written as an (8, 128) output block (exactly the
-    minimum f32 tile).
+  * valid overlap-save output = the last VALID/128 rows of the result —
+    a row slice, written as (VALID/128, 128) output blocks (VALID is
+    required to be a multiple of 1024 so blocks respect the (8, 128)
+    f32 tile).
+
+Any (nfft, ntaps) with nfft % 128 == 0, nfft ≥ 256 and
+valid = nfft − ntaps + 1 a positive multiple of 1024 is supported
+(pipeline.receiver.fastfir4_supported); the reference's 2048/1025
+(dsp/fastfir.cpp:55-57) is the default.
 
 Numerics: validated to ~1e-14 against numpy FFT overlap-save in float64
 (see the derivation notes in DESIGN.md §10) and against ops.fastfir in
@@ -40,18 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 from cutesdr_tpu.design.fastfir_design import design_fastfir
 from cutesdr_tpu.types import complex_zeros
 
+# default (reference) sizes, kept as module constants for back-compat
 N = 2048
-N1 = 128          # outer DFT size (lane dimension)
-N2 = 16           # inner DFT size (sublane dimension)
-VALID = 1024      # output samples per frame
+N1 = 128          # outer DFT size (lane dimension) — fixed
+N2 = 16           # inner DFT size (sublane dimension) for the default N
+VALID = 1024      # output samples per frame for the default sizes
 TAIL = N - VALID  # carried history (8 rows)
 
 
-def _dft_tables():
-    d16 = np.exp(-2j * np.pi * np.outer(np.arange(N2), np.arange(N2)) / N2)
+def _dft_tables(n2: int):
+    dn2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
     d128 = np.exp(-2j * np.pi * np.outer(np.arange(N1), np.arange(N1)) / N1)
-    tw = np.exp(-2j * np.pi * np.outer(np.arange(N2), np.arange(N1)) / N)
-    return d16, d128, tw
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(N1))
+                / (N1 * n2))
+    return dn2, d128, tw
 
 
 def _cmatmul(ar, ai, br, bi):
@@ -64,29 +72,29 @@ def _cmatmul(ar, ai, br, bi):
 
 
 def _kernel(z_re_ref, z_im_ref,             # ANY [rows, 128] stream views
-            d16_ref, d128_ref, tw_ref,      # VMEM constants [2, ...] (re, im)
-            h2_ref,                         # VMEM [2, 16, 128] pre-permuted H
-            y_re_ref, y_im_ref,             # out blocks [8, 128]
-            *, n_frames: int):
+            dn2_ref, d128_ref, tw_ref,      # VMEM constants [2, ...] (re, im)
+            h2_ref,                         # VMEM [2, n2, 128] pre-permuted H
+            y_re_ref, y_im_ref,             # out blocks [valid_rows, 128]
+            *, n2: int, valid_rows: int):
     f = pl.program_id(0)
 
     def body(br_s, bi_s, sem):
-        row0 = pl.multiple_of(f * (VALID // N1), VALID // N1)
-        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, N2)], br_s,
+        row0 = pl.multiple_of(f * valid_rows, valid_rows)
+        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, n2)], br_s,
                                     sem.at[0])
-        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, N2)], bi_s,
+        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, n2)], bi_s,
                                     sem.at[1])
         cp1.start()
         cp2.start()
-        d16r, d16i = d16_ref[0], d16_ref[1]
+        dn2r, dn2i = dn2_ref[0], dn2_ref[1]
         d128r, d128i = d128_ref[0], d128_ref[1]
         twr, twi = tw_ref[0], tw_ref[1]
         h2r, h2i = h2_ref[0], h2_ref[1]
         cp1.wait()
         cp2.wait()
 
-        # forward: S = (T ⊙ (D16 @ B)) @ D128
-        cr, ci = _cmatmul(d16r, d16i, br_s[:], bi_s[:])
+        # forward: S = (T ⊙ (D_N2 @ B)) @ D128
+        cr, ci = _cmatmul(dn2r, dn2i, br_s[:], bi_s[:])
         cpr = twr * cr - twi * ci
         cpi = twr * ci + twi * cr
         sr, si = _cmatmul(cpr, cpi, d128r, d128i)
@@ -95,73 +103,93 @@ def _kernel(z_re_ref, z_im_ref,             # ANY [rows, 128] stream views
         pr = sr * h2r - si * h2i
         pi = sr * h2i + si * h2r
 
-        # inverse: y_B = conj(D16) @ (conj(T) ⊙ (P @ conj(D128)))
+        # inverse: y_B = conj(D_N2) @ (conj(T) ⊙ (P @ conj(D128)))
         qr, qi = _cmatmul(pr, pi, d128r, -d128i)
         qpr = twr * qr + twi * qi
         qpi = twr * qi - twi * qr
-        yr, yi = _cmatmul(d16r, -d16i, qpr, qpi)
+        yr, yi = _cmatmul(dn2r, -dn2i, qpr, qpi)
 
-        # valid overlap-save output: sample n >= 1024  <=>  rows 8..15
-        y_re_ref[:] = yr[N2 - VALID // N1:, :]
-        y_im_ref[:] = yi[N2 - VALID // N1:, :]
+        # valid overlap-save output: the last valid_rows rows
+        y_re_ref[:] = yr[n2 - valid_rows:, :]
+        y_im_ref[:] = yi[n2 - valid_rows:, :]
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((N2, N1), jnp.float32),
-        pltpu.VMEM((N2, N1), jnp.float32),
+        pltpu.VMEM((n2, N1), jnp.float32),
+        pltpu.VMEM((n2, N1), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 class FastFir4Params(NamedTuple):
-    h2: jax.Array        # [2, 16, 128] pre-permuted H (re, im planes)
+    h2: jax.Array        # [2, n2, 128] pre-permuted H (re, im planes)
 
 
 class FastFir4Carry(NamedTuple):
-    tail: jax.Array      # [1024] complex input history
+    tail: jax.Array      # [ntaps-1] complex input history
 
 
-def _permute_h(h: np.ndarray) -> np.ndarray:
-    h2 = h.reshape(N1, N2).T            # H2[k2, k1] = H[k2 + 16*k1]
+def _permute_h(h: np.ndarray, n2: int) -> np.ndarray:
+    h2 = h.reshape(N1, n2).T            # H2[k2, k1] = H[k2 + n2*k1]
     return np.stack([h2.real, h2.imag]).astype(np.float32)
 
 
 class FastFirFourStep:
-    """Drop-in fused alternative to ops.fastfir (fixed 2048/1025 sizes)."""
+    """Drop-in fused alternative to ops.fastfir (any legal nfft/ntaps pair;
+    defaults to the reference's 2048/1025)."""
 
     def __init__(self, f_lo_cut: float, f_hi_cut: float, offset: float,
-                 sample_rate: float, interpret: bool = False):
-        h = design_fastfir(f_lo_cut, f_hi_cut, offset, sample_rate)
+                 sample_rate: float, nfft: int = N, ntaps: int = N - VALID + 1,
+                 interpret: bool = False):
+        from cutesdr_tpu.pipeline.receiver import fastfir4_supported
+        if not fastfir4_supported(nfft, ntaps):
+            raise ValueError(
+                f"fastfir4 unsupported sizes nfft={nfft} ntaps={ntaps} "
+                "(need nfft % 128 == 0, nfft >= 256, and "
+                "valid = nfft-ntaps+1 a positive multiple of 1024)")
+        self.nfft, self.ntaps = nfft, ntaps
+        self.n2 = nfft // N1
+        self.valid = nfft - ntaps + 1
+        self.valid_rows = self.valid // N1
         self.sample_rate = sample_rate
         self.interpret = interpret
-        d16, d128, tw = _dft_tables()
+        dn2, d128, tw = _dft_tables(self.n2)
         # keep as host arrays: closure-captured *device* constants force a
         # device->host pull at trace time (breaks on transfer-limited
         # backends); numpy constants embed directly
-        self._d16 = np.stack([d16.real, d16.imag]).astype(np.float32)
+        self._dn2 = np.stack([dn2.real, dn2.imag]).astype(np.float32)
         self._d128 = np.stack([d128.real, d128.imag]).astype(np.float32)
         self._tw = np.stack([tw.real, tw.imag]).astype(np.float32)
-        self.params = FastFir4Params(h2=jnp.asarray(_permute_h(h)))
+        self.retune(f_lo_cut, f_hi_cut, offset)
 
     def retune(self, f_lo_cut: float, f_hi_cut: float, offset: float) -> None:
-        h = design_fastfir(f_lo_cut, f_hi_cut, offset, self.sample_rate)
-        self.params = FastFir4Params(h2=jnp.asarray(_permute_h(h)))
+        h = design_fastfir(f_lo_cut, f_hi_cut, offset, self.sample_rate,
+                           fft_size=self.nfft, fir_size=self.ntaps)
+        self.params = FastFir4Params(h2=jnp.asarray(_permute_h(h, self.n2)))
 
     def init_carry(self) -> FastFir4Carry:
-        return FastFir4Carry(tail=complex_zeros(TAIL, jnp.complex64))
+        return FastFir4Carry(
+            tail=complex_zeros(self.ntaps - 1, jnp.complex64))
 
-    def __call__(self, params: FastFir4Params, carry: FastFir4Carry,
-                 x: jax.Array) -> tuple[FastFir4Carry, jax.Array]:
-        n = x.shape[-1]
-        if n % VALID:
-            raise ValueError(f"block {n} not a multiple of {VALID}")
-        n_frames = n // VALID
-        z = jnp.concatenate([carry.tail, x])
+    def filter_frames(self, params: FastFir4Params,
+                      z: jax.Array) -> jax.Array:
+        """Overlap-save core on an explicit [ntaps-1 + n] history+block
+        buffer; returns n filtered samples (the stateless form
+        ops.fastfir.filter_frames exposes, used by the time-sharded
+        front-end where the history is a ppermute'd halo)."""
+        n = z.shape[-1] - (self.ntaps - 1)
+        if n % self.valid:
+            raise ValueError(f"block {n} not a multiple of {self.valid}")
+        n_frames = n // self.valid
+        # pad the head so frame windows start on whole 128-lane rows:
+        # frame f covers z[f*valid : f*valid + nfft]; with the (ntaps-1)
+        # history the buffer is already row-aligned for legal sizes
         rows = z.shape[-1] // N1
         z_re = z.real.reshape(rows, N1)
         z_im = z.imag.reshape(rows, N1)
 
-        kernel = functools.partial(_kernel, n_frames=n_frames)
+        kernel = functools.partial(_kernel, n2=self.n2,
+                                   valid_rows=self.valid_rows)
         y_re, y_im = pl.pallas_call(
             kernel,
             grid=(n_frames,),
@@ -174,17 +202,22 @@ class FastFirFourStep:
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((VALID // N1, N1), lambda f: (f, 0)),
-                pl.BlockSpec((VALID // N1, N1), lambda f: (f, 0)),
+                pl.BlockSpec((self.valid_rows, N1), lambda f: (f, 0)),
+                pl.BlockSpec((self.valid_rows, N1), lambda f: (f, 0)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_frames * VALID // N1, N1),
+                jax.ShapeDtypeStruct((n_frames * self.valid_rows, N1),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((n_frames * VALID // N1, N1),
+                jax.ShapeDtypeStruct((n_frames * self.valid_rows, N1),
                                      jnp.float32),
             ),
             interpret=self.interpret,
-        )(z_re, z_im, self._d16, self._d128, self._tw, params.h2)
+        )(z_re, z_im, self._dn2, self._d128, self._tw, params.h2)
 
-        y = jax.lax.complex(y_re.reshape(-1), y_im.reshape(-1))
-        return FastFir4Carry(tail=z[z.shape[-1] - TAIL:]), y
+        return jax.lax.complex(y_re.reshape(-1), y_im.reshape(-1))
+
+    def __call__(self, params: FastFir4Params, carry: FastFir4Carry,
+                 x: jax.Array) -> tuple[FastFir4Carry, jax.Array]:
+        z = jnp.concatenate([carry.tail, x])
+        y = self.filter_frames(params, z)
+        return FastFir4Carry(tail=z[z.shape[-1] - (self.ntaps - 1):]), y

@@ -58,6 +58,60 @@ MODE_DEFAULT_CUTS = {
 }
 
 
+def _default_backend() -> str:
+    try:
+        import jax
+        return jax.default_backend()
+    except Exception:          # backend init failure: fall back to XLA paths
+        return "cpu"
+
+
+def mixdec_supported(decimation: int) -> bool:
+    """Legality of the fused Pallas mix+decimate kernel for a plan
+    (kernels/mixdec.py requires the decimation to divide the 128 lanes)."""
+    return decimation >= 1 and 128 % decimation == 0
+
+
+def fastfir4_supported(nfft: int, ntaps: int) -> bool:
+    """Legality of the four-step Pallas channel filter for a size pair
+    (kernels/fastfir4.py: 128-lane frames; the overlap-save hop must be a
+    multiple of 1024 so output blocks are whole (8, 128) f32 tiles)."""
+    valid = nfft - ntaps + 1
+    return (nfft % 128 == 0 and nfft // 128 >= 2 and valid > 0
+            and valid % 1024 == 0)
+
+
+def resolve_front_end(decimation: int, nfft: int, ntaps: int,
+                      front_dtype: str = "f32",
+                      backend: str | None = None) -> tuple[str, str]:
+    """Resolve ("auto", "auto") front-end implementations to the fastest
+    measured-legal choice for this backend.
+
+    Policy (measured on TPU v5e):
+      * decimator: the Pallas fused mix+decimate is 1.36x the XLA-composed
+        mix+conv at kernel level and ~17x faster to compile cold
+        (kernels/mixdec.py:32-33) — default whenever legal on TPU (the
+        bf16 front stays on the fused XLA conv, which is where the bf16
+        win lives).  Chain-level deltas are unresolvable through the
+        remote-tunnel dev rig (dispatch-floored, CLAUDE.md); the
+        kernel-level numbers are the basis.
+      * channel filter: the XLA fft path.  The four-step Pallas kernel
+        measured 2-3x SLOWER at chain level on v5e (r3: 0.16 ms/step vs
+        0.07-0.09 for the flagship 2 MSPS x64-frame config, consistent
+        across repeats and well beyond tunnel variance), so auto keeps
+        XLA; it remains opt-in (fastfir_impl="pallas") as the VMEM-fused
+        form for future hardware where the HBM round-trips dominate.
+    Non-TPU backends always take the XLA paths (interpret-mode Pallas is
+    for tests only).
+    """
+    backend = _default_backend() if backend is None else backend
+    dec = "fused"
+    if (backend == "tpu" and front_dtype == "f32"
+            and mixdec_supported(decimation)):
+        dec = "pallas"
+    return dec, "xla"
+
+
 @dataclass(frozen=True)
 class ReceiverConfig:
     input_rate: float = 2_000_000.0
@@ -94,10 +148,14 @@ class ReceiverConfig:
     # filter + higher throughput.  Defaults match the reference (2048/1025).
     fastfir_nfft: int = fastfir.NFFT
     fastfir_ntaps: int = fastfir.NFIR
-    decimator_impl: str = "fused"      # "fused" | "cascade" | "pallas"
+    # "auto" resolves at construction to the fastest implementation legal
+    # for this config on the current backend (resolve_front_end below) —
+    # production and bench.py therefore run what auto selects (VERDICT r2
+    # item 3).  Explicit values pin an implementation.
+    decimator_impl: str = "auto"       # "auto" | "fused" | "cascade" | "pallas"
     front_dtype: str = "f32"           # "f32" | "bf16" (fused decim conv in
                                        # bf16 w/ f32 accum; ~50 dB quant SNR)
-    fastfir_impl: str = "xla"          # "xla" | "pallas" (four-step kernel)
+    fastfir_impl: str = "auto"         # "auto" | "xla" | "pallas" (four-step)
     pallas_interpret: bool = False     # run the pallas kernels interpreted (CPU tests)
     probes: bool = False
 
@@ -106,6 +164,14 @@ class ReceiverConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.front_dtype not in ("f32", "bf16"):
             raise ValueError(f"unknown front_dtype {self.front_dtype!r}")
+        if self.decimator_impl == "auto" or self.fastfir_impl == "auto":
+            dec, ff = resolve_front_end(
+                self.plan.decimation, self.fastfir_nfft, self.fastfir_ntaps,
+                front_dtype=self.front_dtype)
+            if self.decimator_impl == "auto":
+                object.__setattr__(self, "decimator_impl", dec)
+            if self.fastfir_impl == "auto":
+                object.__setattr__(self, "fastfir_impl", ff)
         if self.front_dtype == "bf16" and self.decimator_impl != "fused":
             raise ValueError("front_dtype='bf16' requires decimator_impl='fused'")
         lo, hi = MODE_DEFAULT_CUTS[self.mode]
@@ -196,12 +262,14 @@ def _make_mixdec(cfg: ReceiverConfig):
 
 def _make_fastfir4(cfg: ReceiverConfig):
     from cutesdr_tpu.kernels import fastfir4
-    if (cfg.fastfir_nfft, cfg.fastfir_ntaps) != (fastfir4.N,
-                                                 fastfir4.N - fastfir4.VALID + 1):
-        raise ValueError("fastfir_impl='pallas' supports only the default "
-                         "2048/1025 filter sizes")
+    if not fastfir4_supported(cfg.fastfir_nfft, cfg.fastfir_ntaps):
+        raise ValueError(
+            f"fastfir_impl='pallas' does not support sizes "
+            f"{cfg.fastfir_nfft}/{cfg.fastfir_ntaps} (see fastfir4_supported)")
     return fastfir4.FastFirFourStep(cfg.low_cut, cfg.hi_cut, cfg.cw_offset,
                                     cfg.plan.out_rate,
+                                    nfft=cfg.fastfir_nfft,
+                                    ntaps=cfg.fastfir_ntaps,
                                     interpret=cfg.pallas_interpret)
 
 

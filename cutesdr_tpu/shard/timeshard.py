@@ -156,7 +156,13 @@ def front_end_sharded(cfg: rx.ReceiverConfig, n_dev: int, axis: str,
     recv2 = lax.ppermute(dtail, axis, ring)
     halo2 = jnp.where(i == 0, carry.dec_tail, recv2)
     z2 = jnp.concatenate([halo2, y_dec], axis=-1)
-    y_filt = fastfir.filter_frames(params.chan_filter.h_freq, z2, ntaps)
+    if cfg.fastfir_impl == "pallas":
+        # four-step kernel's stateless halo'd form (same overlap-save
+        # algebra as ops.fastfir.filter_frames)
+        from cutesdr_tpu.pipeline.receiver import _make_fastfir4
+        y_filt = _make_fastfir4(cfg).filter_frames(params.chan_filter, z2)
+    else:
+        y_filt = fastfir.filter_frames(params.chan_filter.h_freq, z2, ntaps)
     new_dec_tail = _replicated_at_zero(i, recv2, axis)
 
     # --- gather the (audio-rate) filtered stream to every device ---
@@ -183,10 +189,9 @@ class ShardedReceiver:
         if self.cfg.decimator_impl not in ("fused", "pallas"):
             raise ValueError("sharded receiver requires the fused decimator "
                              "or the pallas mixdec kernel")
-        if self.cfg.fastfir_impl != "xla":
-            raise ValueError("sharded receiver requires fastfir_impl='xla' "
-                             "(the channel filter runs via filter_frames on "
-                             "the halo'd buffer)")
+        if self.cfg.fastfir_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown fastfir_impl "
+                             f"{self.cfg.fastfir_impl!r}")
         self.n_dev = self.mesh.shape[self.axis]
         self.params, state = rx.init(self.cfg, self.rdtype)
         self.state = state

@@ -45,3 +45,42 @@ def test_random_config_runs(seed):
     assert np.all(np.isfinite(audio)), cfg
     assert np.isfinite(float(out.smeter_ave_db)), cfg
     assert 0 <= int(out.n_audio) <= audio.shape[-1], cfg
+
+
+def test_auto_front_end_resolution_boundaries():
+    """resolve_front_end picks the Pallas mixdec exactly when legal on TPU
+    and always falls back to XLA paths elsewhere (VERDICT r2 item 3)."""
+    from cutesdr_tpu.pipeline.receiver import (fastfir4_supported,
+                                               mixdec_supported,
+                                               resolve_front_end)
+
+    # divisibility boundary: powers of two <= 128 divide the lanes
+    for d in (1, 2, 4, 8, 16, 32, 64, 128):
+        assert mixdec_supported(d)
+        assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "pallas"
+    for d in (3, 48, 96, 256, 512, 1024):
+        assert not mixdec_supported(d)
+        assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "fused"
+
+    # never pallas off-TPU, never with the bf16 front
+    assert resolve_front_end(32, 2048, 1025, backend="cpu")[0] == "fused"
+    assert resolve_front_end(32, 2048, 1025, front_dtype="bf16",
+                             backend="tpu")[0] == "fused"
+
+    # four-step legality: 128-lane frames, hop a multiple of 1024
+    assert fastfir4_supported(2048, 1025)
+    assert fastfir4_supported(4096, 3073)       # valid=1024
+    assert fastfir4_supported(4096, 2049)       # valid=2048
+    assert not fastfir4_supported(1024, 513)    # valid=512: partial tile
+    assert not fastfir4_supported(2048, 1921)   # valid=128: partial tile
+    assert not fastfir4_supported(2048, 1000)   # hop not tile-aligned
+    assert not fastfir4_supported(2000, 1025)   # nfft not 128-aligned
+    assert not fastfir4_supported(128, 1)       # single-row frame
+    assert not fastfir4_supported(2048, 2049)   # no valid output
+
+    # random configs resolve to a runnable pair on every backend
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        cfg = _random_cfg(rng)
+        assert cfg.decimator_impl in ("fused", "cascade", "pallas")
+        assert cfg.fastfir_impl in ("xla", "pallas")

@@ -169,3 +169,52 @@ def test_receiver_all_pallas_front_end():
                           for b in np.split(x, 2)])
     scale = np.abs(a_x).max()
     np.testing.assert_allclose(a_p, a_x, atol=5e-4 * scale)
+
+
+@pytest.mark.parametrize("nfft,ntaps", [(4096, 3073), (4096, 2049),
+                                        (2048, 1025)])
+def test_fastfir4_generalized_sizes(rng, nfft, ntaps):
+    """The four-step kernel generalized beyond 2048/1025 (VERDICT r2 item
+    4): any 128-lane frame with a 1024-multiple hop matches ops.fastfir."""
+    from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
+    from cutesdr_tpu.ops import fastfir
+
+    fs = 62500.0
+    k = FastFirFourStep(100.0, 2800.0, 0.0, fs, nfft=nfft, ntaps=ntaps,
+                        interpret=True)
+    fp, fc = fastfir.init(100.0, 2800.0, 0.0, fs, jnp.complex64,
+                          nfft=nfft, ntaps=ntaps)
+    valid = nfft - ntaps + 1
+    n = 2 * valid
+    x = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n)) * 100
+         ).astype(np.complex64)
+    kc = k.init_carry()
+    got, want = [], []
+    for b in np.split(x, 2):
+        kc, y1 = k(k.params, kc, jnp.asarray(b))
+        fc, y2 = fastfir.process(fp, fc, jnp.asarray(b))
+        got.append(np.asarray(y1))
+        want.append(np.asarray(y2))
+    got, want = np.concatenate(got), np.concatenate(want)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+
+
+def test_fastfir4_rejects_unsupported_sizes():
+    from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
+    with pytest.raises(ValueError):
+        FastFirFourStep(100.0, 2800.0, 0.0, 62500.0, nfft=2048, ntaps=1921,
+                        interpret=True)
+
+
+def test_mosaic_cachefix_installed():
+    """kernels import installs the Mosaic location-stripping wrapper so
+    Pallas programs hit the persistent compile cache across processes and
+    scripts (kernels/_cachefix.py; the payload used to embed the trace
+    callsite, changing the cache key with any upstream code edit)."""
+    import jax._src.tpu_custom_call as tcc
+
+    import cutesdr_tpu.kernels  # noqa: F401  (import applies the fix)
+    from cutesdr_tpu.kernels import _cachefix
+    assert _cachefix._applied
+    assert tcc._lower_mosaic_module_to_asm.__name__ == "stable_lower"

@@ -323,3 +323,33 @@ def test_channel_bank_fm_matches_single_receivers():
             np.testing.assert_allclose(np.asarray(out_s.audio[i]),
                                        np.asarray(o.audio),
                                        atol=2e-3 * scale)
+
+
+def test_timeshard_all_pallas_matches_single_chip():
+    """BOTH Pallas kernels (mixdec + four-step channel filter) enabled
+    inside the time-sharded receiver must match the single-chip receiver
+    (VERDICT r2 item 4: lift the fastfir_impl='pallas' restriction in
+    ShardedReceiver)."""
+    cfg = ReceiverConfig(input_rate=500_000.0, mode="usb",
+                         tune_freq=20_000.0, audio_rate=48000.0,
+                         decimator_impl="pallas", fastfir_impl="pallas",
+                         pallas_interpret=True)
+    n_dev = 4
+    mesh = make_mesh(time=n_dev)
+    x = _stream(cfg, 2, n_dev)
+
+    srx = ShardedReceiver(cfg, mesh)
+    rx = Receiver(cfg)
+    for sb in range(2):
+        xs = x[sb * srx.superblock_size:(sb + 1) * srx.superblock_size]
+        out_s = srx.process(jnp.asarray(xs, C64))
+        audio_s = np.asarray(out_s.audio)[:int(out_s.n_audio)]
+        ref_audio = []
+        for b in range(n_dev):
+            o = rx.process(jnp.asarray(
+                xs[b * cfg.block_size:(b + 1) * cfg.block_size], C64))
+            ref_audio.append(np.asarray(o.audio)[:int(o.n_audio)])
+        ref_audio = np.concatenate(ref_audio)
+        assert len(audio_s) == len(ref_audio)
+        scale = max(np.abs(ref_audio).max(), 1e-6)
+        np.testing.assert_allclose(audio_s, ref_audio, atol=5e-4 * scale)
