@@ -649,6 +649,14 @@ class Receiver:
         self._step_planes = jax.jit(self._planes_step)
 
     def _planes_step(self, p, s, re, im):
+        if re.dtype != jnp.float32:
+            # int16 wire planes: halve the H2D bytes and cast on device —
+            # the radio's 16-bit format (interface/netiobase.cpp:59-60)
+            # carried through to the chip untouched; values are already in
+            # the reference's +-32767 full-scale convention, so the cast
+            # is exact (no scaling needed)
+            re = re.astype(jnp.float32)
+            im = im.astype(jnp.float32)
         s2, out = receiver_step(self.cfg, p, s, jax.lax.complex(re, im))
         return s2, split_complex_leaves(out)
 
@@ -662,6 +670,15 @@ class Receiver:
         import numpy as np
         re = np.ascontiguousarray(np.real(iq), np.float32)
         im = np.ascontiguousarray(np.imag(iq), np.float32)
+        self.state, out = self._step_planes(self.params, self.state, re, im)
+        return out
+
+    def process_planes(self, re, im) -> StepOutput:
+        """Process one block given as separate re/im planes — float32, or
+        int16 straight off the radio's 16-bit wire format (half the H2D
+        bytes; cast to f32 on device).  Planes may be host numpy arrays or
+        already-transferred device arrays (the ingest worker's
+        double-buffered device_put path)."""
         self.state, out = self._step_planes(self.params, self.state, re, im)
         return out
 

@@ -172,6 +172,11 @@ class SpectrumAnalyzer:
                                 / (self.cfg.fft_size * self.max_display_rate)))
         self._skip_count = 0
         self.overload = False
+        # plane-feed path state (feed_planes): one frame being collected
+        self._fbuf_re = np.zeros(self.cfg.fft_size, np.float32)
+        self._fbuf_im = np.zeros(self.cfg.fft_size, np.float32)
+        self._collected = 0
+        self._skip_remaining = 0
 
     def feed(self, iq: np.ndarray) -> bool:
         """Append raw IQ; returns True when a new display frame is ready."""
@@ -190,6 +195,37 @@ class SpectrumAnalyzer:
                 self.overload = bool(ov)
                 ready = True
         self._pending = buf
+        return ready
+
+    def feed_planes(self, re, im) -> bool:
+        """Plane-format feed for the high-rate ingest path: re/im planes
+        (int16 wire format or float32).  Unlike feed(), samples inside
+        skipped display frames are never buffered or converted — the
+        reference's m_DisplaySkipValue throttle applied at sample
+        granularity, so a 20 MSPS stream costs one fft_size frame of host
+        work per display update, not a full-stream copy."""
+        n = self.cfg.fft_size
+        ready = False
+        pos, total = 0, len(re)
+        while pos < total:
+            if self._skip_remaining > 0:
+                take = min(self._skip_remaining, total - pos)
+                self._skip_remaining -= take
+                pos += take
+                continue
+            take = min(n - self._collected, total - pos)
+            c = self._collected
+            self._fbuf_re[c:c + take] = re[pos:pos + take]
+            self._fbuf_im[c:c + take] = im[pos:pos + take]
+            self._collected += take
+            pos += take
+            if self._collected == n:
+                self.state, ov = self._acc(self.state, self._fbuf_re,
+                                           self._fbuf_im)
+                self.overload = bool(ov)
+                self._collected = 0
+                self._skip_remaining = (self._skip - 1) * n
+                ready = True
         return ready
 
     def spectrum_db(self) -> np.ndarray:

@@ -35,6 +35,57 @@ def _start_host_copy(leaf) -> None:
             pass               # backend without async copies: finish() syncs
 
 
+class _IngestWorker:
+    """Double-buffered host→device uploader: a dedicated thread
+    device_puts the next block's planes while the main thread dispatches
+    compute on the previous one — the reference's FIFO-decoupled
+    UDP→DSP thread handoff (interface/netiobase.cpp:571-600) applied to
+    the H2D copy.  Bounded input queue gives natural backpressure."""
+
+    def __init__(self, depth: int = 2):
+        import queue
+        import threading
+        self._in: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._out: "queue.Queue" = queue.Queue()
+        self.pending = 0               # submitted, not yet polled out
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="cutesdr-ingest")
+        self._t.start()
+
+    def _run(self):
+        import jax
+        while True:
+            item = self._in.get()
+            if item is None:
+                return
+            re, im = item
+            try:
+                self._out.put((jax.device_put(re), jax.device_put(im)))
+            except Exception as e:      # surface upload failures to poll()
+                self._out.put(e)
+
+    def submit(self, re, im) -> None:
+        self.pending += 1
+        self._in.put((re, im))
+
+    def poll(self, block: bool = False):
+        """Next uploaded (re, im) device pair, or None if none ready."""
+        import queue
+        if self.pending == 0:
+            return None
+        try:
+            item = self._out.get(block=block)
+        except queue.Empty:
+            return None
+        self.pending -= 1
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._in.put(None)
+
+
 @dataclass
 class ReceiverSession:
     """Pull-based session: call ``pump()`` with raw IQ blocks (any size);
@@ -86,6 +137,10 @@ class ReceiverSession:
         self.audio_queue = RateLockedQueue(stereo=self.cfg.stereo)
         self.metrics = StreamMetrics()
         self._pending = np.zeros(0, np.complex64)
+        self._pending_re = np.zeros(0, np.float32)   # plane-path re-block
+        self._pending_im = np.zeros(0, np.float32)
+        self._ingest: Optional[_IngestWorker] = None  # created on first
+                                                      # pump_planes
         self._inflight: list = []      # dispatched, not yet materialized
         self._nominal_ratio = (self.cfg.output_rate /
                                (self.cfg.audio_rate or self.cfg.output_rate))
@@ -118,7 +173,11 @@ class ReceiverSession:
         self.metrics.audio_underflows = self.audio_queue.underflows
 
     def flush(self) -> int:
-        """Drain all in-flight steps (call before reading final state)."""
+        """Drain in-flight uploads and steps (call before reading final
+        state)."""
+        if self._ingest is not None:
+            while self._ingest.pending:
+                self._dispatch_uploaded(self._ingest.poll(block=True))
         n = len(self._inflight)
         for out, bs in self._inflight:
             self._finish(out, bs)
@@ -162,6 +221,71 @@ class ReceiverSession:
         self._pending = buf
 
         # close the rate-lock loop when the consumer's correction changes
+        corr = self.audio_queue.rate_correction
+        if corr != self._last_correction and self.cfg.audio_rate:
+            self._last_correction = corr
+            self.metrics.ppm_error = self.audio_queue.ppm_error
+            self.receiver.set_resample_ratio(
+                self._nominal_ratio * (1.0 + corr))
+        return blocks
+
+    def _dispatch_uploaded(self, item) -> None:
+        """Run the receiver step on an already-uploaded plane pair and
+        enter it into the in-flight pipeline."""
+        if item is None:
+            return
+        re_d, im_d = item
+        out = self.receiver.process_planes(re_d, im_d)
+        self.metrics.samples_in += self.cfg.block_size
+        self.metrics.blocks += 1
+        jax.tree_util.tree_map(_start_host_copy, out)
+        self._inflight.append((out, self.cfg.block_size))
+        while len(self._inflight) >= max(1, self.pipeline_depth):
+            done, dbs = self._inflight.pop(0)
+            self._finish(done, dbs)
+
+    def pump_planes(self, re, im) -> int:
+        """High-rate ingest: feed separate re/im planes — int16 straight
+        off the radio's 16-bit wire format (half the H2D bytes; cast to
+        f32 on device) or float32.  Uploads run on a dedicated ingest
+        thread double-buffered against dispatch, so the host decodes and
+        uploads block k+1 while the device computes block k; the display
+        FFT is fed at the throttle's sample granularity without copying
+        skipped samples.  Complex never crosses the host↔device boundary.
+
+        This is the production path for the 20 MSPS configuration; the
+        complex-input pump() remains for convenience at radio-native
+        rates."""
+        if not self.running:
+            return 0
+        if self._ingest is None:
+            self._ingest = _IngestWorker(depth=max(1, self.pipeline_depth))
+        re = np.asarray(re)
+        im = np.asarray(im)
+        if self._pending_re.dtype != re.dtype or not len(self._pending_re):
+            self._pending_re = self._pending_re.astype(re.dtype)
+            self._pending_im = self._pending_im.astype(im.dtype)
+        buf_re = np.concatenate([self._pending_re, re])
+        buf_im = np.concatenate([self._pending_im, im])
+        bs = self.cfg.block_size
+        blocks = 0
+        while len(buf_re) >= bs:
+            rb, buf_re = buf_re[:bs], buf_re[bs:]
+            ib, buf_im = buf_im[:bs], buf_im[bs:]
+            if self.analyzer.feed_planes(rb, ib) and self.on_spectrum:
+                self.on_spectrum(self.analyzer.spectrum_db())
+            self.metrics.overload = self.analyzer.overload
+            self._ingest.submit(rb, ib)
+            self._dispatch_uploaded(self._ingest.poll())
+            blocks += 1
+        self._pending_re, self._pending_im = buf_re, buf_im
+        # opportunistically drain any uploads that completed meanwhile
+        while True:
+            item = self._ingest.poll()
+            if item is None:
+                break
+            self._dispatch_uploaded(item)
+
         corr = self.audio_queue.rate_correction
         if corr != self._last_correction and self.cfg.audio_rate:
             self._last_correction = corr

@@ -120,3 +120,33 @@ def test_program_cache_lru_eviction():
     sess.flush()
     assert blocks == 1
     assert sess.metrics.audio_samples_out > 0
+
+
+def test_pump_planes_int16_matches_complex_pump():
+    """The high-rate ingest path (int16 wire planes, threaded
+    double-buffered H2D, device-side cast) must produce the same audio as
+    the complex-input pump on the same samples (VERDICT r2 item 1)."""
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=60_000.0, audio_rate=48000.0)
+    x = tone(cfg.block_size * 3 + 1234, 61_000.0, cfg.input_rate, -20.0)
+    re = np.real(x).astype(np.int16)
+    im = np.imag(x).astype(np.int16)
+
+    s1 = ReceiverSession(cfg)
+    s1.start()
+    # odd-sized chunks exercise plane re-blocking and the ingest worker
+    for lo in range(0, len(re), 10_000):
+        s1.pump_planes(re[lo:lo + 10_000], im[lo:lo + 10_000])
+    s1.flush()
+
+    s2 = ReceiverSession(cfg)
+    s2.start()
+    s2.pump((re.astype(np.float32) + 1j * im.astype(np.float32))
+            .astype(np.complex64))
+    s2.flush()
+
+    assert s1.metrics.blocks == s2.metrics.blocks == 3
+    a1 = s1.audio_queue.get(s1.audio_queue.level)
+    a2 = s2.audio_queue.get(s2.audio_queue.level)
+    np.testing.assert_array_equal(a1, a2)
+    assert s1.metrics.samples_in == 3 * cfg.block_size
