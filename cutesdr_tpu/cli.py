@@ -70,6 +70,19 @@ def _add_receiver_args(p: argparse.ArgumentParser,
     p.add_argument("--front-dtype", default="f32", choices=["f32", "bf16"],
                    help="decimation-conv compute dtype (bf16 halves HBM "
                         "traffic, ~67 dB SNR vs f32)")
+    p.add_argument("--dual", action="store_true",
+                   help="dual-RX: radio: sources start in "
+                        "CHAN_SETUP_DUAL_AD12 (both A/Ds, coherent) and "
+                        "the two streams are MRC-combined before demod "
+                        "(up to +3 dB SNR; the reference defines these "
+                        "modes but never demodulates channel 2).  Also "
+                        "works with --source dualtone:F[:PHASE[:GAIN]]")
+    p.add_argument("--rx2-gain", type=float, default=None,
+                   help="dual-RX channel balance: ch1 A/D gain as a "
+                        "fraction (CI 0x0023)")
+    p.add_argument("--rx2-phase", type=float, default=None,
+                   help="dual-RX channel balance: ch2 NCO phase offset, "
+                        "degrees (CI 0x0022)")
 
 
 def _radio_type(args):
@@ -161,13 +174,20 @@ class _RadioSource:
     def _run(self, host: str, port: int, args) -> None:
         import asyncio
 
+        from cutesdr_tpu.io.ascp import ci
         from cutesdr_tpu.io.netsdr import SdrClient
+
+        dual = bool(getattr(args, "dual", False))
 
         async def main():
             client = SdrClient(host=host, port=port,
                                radio_type=_radio_type(args),
                                bandwidth_index=args.bw_index,
-                               rf_gain=args.rf_gain, on_iq=self._on_iq)
+                               rf_gain=args.rf_gain,
+                               on_iq=None if dual else self._on_iq,
+                               on_iq_dual=self._on_iq_dual if dual else None)
+            if dual:
+                client.channel_mode = ci.CHAN_SETUP_DUAL_AD12
             # resume a previously learned NCO-spur cal (QSettings restore,
             # gui/mainwindow.cpp:311-316): the EMA continues converged
             # instead of restarting from zero and clobbering the saved value
@@ -180,6 +200,11 @@ class _RadioSource:
                                      if args.center is not None
                                      else args.freq))
             client.start()
+            if dual and (args.rx2_gain is not None
+                         or args.rx2_phase is not None):
+                client.set_rx2_parameters(
+                    args.rx2_gain if args.rx2_gain is not None else 1.0,
+                    args.rx2_phase if args.rx2_phase is not None else 0.0)
             self.client = client
             self._ready.set()
             print(f"radio: {client.device_name or '(unnamed)'} "
@@ -203,7 +228,15 @@ class _RadioSource:
         except queue.Full:                   # consumer stalled: drop, count
             self.dropped_blocks += 1
 
+    def _on_iq_dual(self, iq1: np.ndarray, iq2: np.ndarray) -> None:
+        import queue
+        try:
+            self._q.put_nowait(np.stack([iq1, iq2]).astype(np.complex64))
+        except queue.Full:
+            self.dropped_blocks += 1
+
     def __call__(self):
+        """Next block: [block] complex (single) or [2, block] (dual)."""
         import queue
         while self._have < self._block:
             try:
@@ -211,10 +244,10 @@ class _RadioSource:
             except queue.Empty:
                 return None                  # stream died (watchdog reports)
             self._chunks.append(c)
-            self._have += len(c)
-        cat = np.concatenate(self._chunks)
-        out, rest = cat[:self._block], cat[self._block:]
-        self._chunks, self._have = [rest], len(rest)
+            self._have += c.shape[-1]
+        cat = np.concatenate(self._chunks, axis=-1)
+        out, rest = cat[..., :self._block], cat[..., self._block:]
+        self._chunks, self._have = [rest], rest.shape[-1]
         return out
 
     def close(self) -> None:
@@ -281,6 +314,22 @@ def _make_source(args, block_size):
             sample_rate=args.fs, sweep_start_hz=float(spec[5:]),
             sweep_stop_hz=float(spec[5:]), signal_power_db=-20.0))
         return c64(lambda: gen.next_block(block_size))
+    if spec.startswith("dualtone:"):
+        # coherent dual-RX test stimulus: ch2 = gain·e^{jφ}·ch1 (a fixed
+        # channel mismatch for the MRC combiner to estimate)
+        parts = spec.split(":")
+        f0 = float(parts[1])
+        phase = _np.radians(float(parts[2]) if len(parts) > 2 else 35.0)
+        g = float(parts[3]) if len(parts) > 3 else 0.8
+        gen = SignalGenerator(GenConfig(
+            sample_rate=args.fs, sweep_start_hz=f0, sweep_stop_hz=f0,
+            signal_power_db=-20.0, noise_power_db=-70.0))
+
+        def dual_block():
+            x = gen.next_block(block_size).astype(_np.complex64)
+            return _np.stack([x, (g * _np.exp(1j * phase) * x)
+                              .astype(_np.complex64)])
+        return dual_block
     if spec.startswith("file:"):
         from cutesdr_tpu.io.filesource import FileSource
         parts = spec.split(":")
@@ -310,6 +359,8 @@ def cmd_run(args) -> int:
     from cutesdr_tpu.pipeline.receiver import Receiver, join_complex_pair
 
     _apply_radio_rate(args)
+    if getattr(args, "dual", False):
+        return _run_dual(args)
     cfg = _cfg_from_args(args, probes=args.probe > 0)
     rx = Receiver(cfg)
     rx.set_volume(args.volume)
@@ -351,6 +402,51 @@ def cmd_run(args) -> int:
     msps = n_blocks * cfg.block_size / dt / 1e6
     print(f"processed {n_blocks * cfg.block_size} samples in {dt:.2f}s "
           f"({msps:.2f} Msps) -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def _run_dual(args) -> int:
+    """Dual-RX run: coherent two-channel source → MRC diversity combine →
+    one demod chain → WAV.  Drives CHAN_SETUP_DUAL_AD12 end-to-end for
+    radio: sources (the reference defines the mode,
+    interface/protocoldefs.h:143-152, but never demodulates channel 2)."""
+    from cutesdr_tpu.io.filesource import WavSink
+    from cutesdr_tpu.shard.coherent import DiversityReceiver
+
+    cfg = _cfg_from_args(args)
+    drx = DiversityReceiver(cfg)
+    drx.set_volume(args.volume)
+    source = _make_source(args, cfg.block_size)
+
+    n_blocks = max(1, int(args.seconds * args.fs / cfg.block_size))
+    t0 = time.time()
+    with WavSink(args.out, 48000, args.stereo) as wav:
+        for i in range(n_blocks):
+            iq = source()
+            if iq is None:
+                break
+            if iq.ndim != 2 or iq.shape[0] != 2:
+                raise SystemExit("--dual needs a two-channel source "
+                                 "(radio:--dual or dualtone:)")
+            out = drx.process_host(iq)
+            audio = np.asarray(out.audio)[:int(out.n_audio)]
+            if args.stereo:
+                audio = audio[..., 0] + 1j * audio[..., 1]
+            wav.write(audio)
+            if i % 10 == 0:
+                g = drx.last_gain
+                print(f"block {i}/{n_blocks} s-meter "
+                      f"{float(out.smeter_ave_db):6.1f} dB  rx2 gain "
+                      f"{abs(g):.3f} ∠{np.degrees(np.angle(g)):6.1f}°",
+                      file=sys.stderr)
+    dt = time.time() - t0
+    if hasattr(source, "close"):
+        source.close()
+    g = drx.last_gain
+    msps = n_blocks * cfg.block_size / dt / 1e6
+    print(f"processed {n_blocks * cfg.block_size} dual samples in {dt:.2f}s "
+          f"({msps:.2f} Msps x2) rx2 gain {abs(g):.3f} "
+          f"∠{np.degrees(np.angle(g)):.1f}° -> {args.out}", file=sys.stderr)
     return 0
 
 
@@ -549,6 +645,28 @@ def cmd_serve(args) -> int:
             db, smeter_db=float(sess.smeter_db[sess.monitor]),
             channels=sess.channel_info(),
             overload=sess.analyzer.overload)
+    elif getattr(args, "dual", False):
+        # dual-RX toggle: MRC-combined diversity session; display shows
+        # channel 1's raw spectrum, audio is the combined stream, status
+        # carries the tracked rx2 gain estimate
+        from cutesdr_tpu.session import DiversitySession
+        kw = {}
+        if settings is not None:
+            kw["settings"] = settings
+        sess = DiversitySession(cfg, **kw)
+        srv = SpectrumServer(port=args.port, sample_rate=args.fs,
+                             on_tune=sess.tune_clicked,
+                             on_filter=sess.set_filter).start()
+        srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
+                     hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
+                     mode=cfg.mode,
+                     click_res=sess.settings.demod[cfg.mode]
+                     .filter_click_resolution)
+        ad_transient = {"until": 0.0}
+        sess.on_spectrum = lambda db: srv.update(
+            db, smeter_db=sess.metrics.smeter_ave_db,
+            overload=(sess.metrics.overload
+                      or _time.time() < ad_transient["until"]))
     else:
         kw = {}
         if settings is not None:

@@ -149,6 +149,11 @@ class SdrClient:
     host: str = "127.0.0.1"
     port: int = 50000
     on_iq: Callable[[np.ndarray], None] | None = None
+    # dual-channel modes (CHAN_SETUP_DUAL_*): called with (iq_ch1, iq_ch2)
+    # per packet instead of on_iq.  The reference defines these modes
+    # (interface/protocoldefs.h:143-152) but never demodulates channel 2;
+    # here both streams feed twin chains / MRC diversity (shard/coherent.py)
+    on_iq_dual: Callable[[np.ndarray, np.ndarray], None] | None = None
     on_status: Callable[[Status], None] | None = None
 
     radio_type: RadioType = RadioType.NETSDR
@@ -478,6 +483,18 @@ class SdrClient:
 
     # ------------------------------------------------------- data plane ---
     def _on_udp(self, data: bytes) -> None:
+        if self.channel_mode in (ci.CHAN_SETUP_DUAL_AD1,
+                                 ci.CHAN_SETUP_DUAL_AD2,
+                                 ci.CHAN_SETUP_DUAL_AD12):
+            decoded = decode_iq_packet_dual(data)
+            if decoded is None or not self._running:
+                return
+            seq, iq1, iq2 = decoded
+            self._seq.update(seq)
+            self.missed_packets = int(self._seq.missed)
+            if self.on_iq_dual is not None:
+                self.on_iq_dual(iq1, iq2)
+            return
         decoded = decode_iq_packet(data)
         if decoded is None or not self._running:
             return

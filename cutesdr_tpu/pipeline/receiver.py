@@ -624,6 +624,45 @@ def join_complex_pair(a):
     return (a[..., 0] + 1j * a[..., 1]).astype(np.complex64)
 
 
+# --- live param updates as pure (cfg, params) -> params functions, shared
+#     between Receiver and the dual-RX DiversityReceiver ---
+def tune_params(cfg: ReceiverConfig, params: ReceiverParams,
+                freq_hz: float) -> ReceiverParams:
+    inc = nco.phase_increment(freq_hz - cfg.cw_offset, cfg.input_rate)
+    params = params._replace(
+        nco=params.nco._replace(phase_inc=jnp.asarray(inc)))
+    if cfg.decimator_impl == "pallas":
+        # the pallas kernel owns the oscillator
+        params = params._replace(
+            dec=params.dec._replace(phase_inc=jnp.asarray(inc)))
+    return params
+
+
+def filter_params(cfg: ReceiverConfig, params: ReceiverParams,
+                  low_cut: float, hi_cut: float) -> ReceiverParams:
+    if cfg.fastfir_impl == "pallas":
+        k4 = _make_fastfir4(cfg)
+        k4.retune(low_cut, hi_cut, cfg.cw_offset)
+        return params._replace(chan_filter=k4.params)
+    return params._replace(
+        chan_filter=fastfir.retune(params.chan_filter, low_cut, hi_cut,
+                                   cfg.cw_offset, cfg.output_rate,
+                                   ntaps=cfg.fastfir_ntaps))
+
+
+def ratio_params(params: ReceiverParams, ratio: float) -> ReceiverParams:
+    if params.resamp is None:
+        return params
+    return params._replace(resamp=resampler.set_rate(params.resamp, ratio))
+
+
+def volume_params(params: ReceiverParams, vol_0_99: int) -> ReceiverParams:
+    # 0..99 -> -50..0 dB, 0 = mute (interface/soundout.cpp:181-190)
+    g = 0.0 if vol_0_99 <= 0 else 10.0 ** ((min(vol_0_99, 99) - 99) / 39.2)
+    return params._replace(
+        audio_gain=jnp.asarray(g, params.audio_gain.dtype))
+
+
 @dataclass
 class Receiver:
     """Convenience stateful wrapper: owns params/state, jits the step.
@@ -684,26 +723,10 @@ class Receiver:
 
     # --- live reconfiguration (traced-param updates, no recompile) ---
     def set_tune_freq(self, freq_hz: float) -> None:
-        inc = nco.phase_increment(freq_hz - self.cfg.cw_offset,
-                                  self.cfg.input_rate)
-        self.params = self.params._replace(
-            nco=self.params.nco._replace(phase_inc=jnp.asarray(inc)))
-        if self.cfg.decimator_impl == "pallas":
-            # the pallas kernel owns the oscillator
-            self.params = self.params._replace(
-                dec=self.params.dec._replace(phase_inc=jnp.asarray(inc)))
+        self.params = tune_params(self.cfg, self.params, freq_hz)
 
     def set_filter(self, low_cut: float, hi_cut: float) -> None:
-        if self.cfg.fastfir_impl == "pallas":
-            k4 = _make_fastfir4(self.cfg)
-            k4.retune(low_cut, hi_cut, self.cfg.cw_offset)
-            self.params = self.params._replace(chan_filter=k4.params)
-        else:
-            self.params = self.params._replace(
-                chan_filter=fastfir.retune(self.params.chan_filter, low_cut,
-                                           hi_cut, self.cfg.cw_offset,
-                                           self.cfg.output_rate,
-                                           ntaps=self.cfg.fastfir_ntaps))
+        self.params = filter_params(self.cfg, self.params, low_cut, hi_cut)
 
     def set_agc(self, thresh_db=None, manual_gain_db=None, slope=None,
                 decay_ms=None) -> None:
@@ -717,15 +740,10 @@ class Receiver:
             c.agc_decay_ms if decay_ms is None else decay_ms, self.rdtype))
 
     def set_resample_ratio(self, ratio: float) -> None:
-        if self.params.resamp is not None:
-            self.params = self.params._replace(
-                resamp=resampler.set_rate(self.params.resamp, ratio))
+        self.params = ratio_params(self.params, ratio)
 
     def set_volume(self, vol_0_99: int) -> None:
-        # 0..99 -> -50..0 dB, 0 = mute (interface/soundout.cpp:181-190)
-        g = 0.0 if vol_0_99 <= 0 else 10.0 ** ((min(vol_0_99, 99) - 99) / 39.2)
-        self.params = self.params._replace(
-            audio_gain=jnp.asarray(g, self.params.audio_gain.dtype))
+        self.params = volume_params(self.params, vol_0_99)
 
     def set_dc_offset(self, i_off: float, q_off: float) -> None:
         rd = jnp.real(self.params.dc_offset).dtype

@@ -431,3 +431,121 @@ class ReceiverSession:
 
     def status_line(self) -> str:
         return self.metrics.status_line()
+
+
+@dataclass
+class DiversitySession:
+    """Dual-RX session: coherent [2, block_size] IQ stacks → MRC combine →
+    one receiver chain → rate-locked audio + spectrum + metrics.
+
+    The reference defines the dual-channel modes
+    (interface/protocoldefs.h:143-152) but never demodulates channel 2;
+    this is the live end of that capability (CLI/serve ``--dual``) — the
+    display shows channel 1's raw spectrum, the audio is the combined
+    (up to +3 dB SNR) stream, and ``gain`` exposes the tracked complex
+    channel-balance estimate."""
+    cfg: ReceiverConfig
+    settings: SessionSettings = field(default_factory=SessionSettings)
+    on_spectrum: Optional[Callable[[np.ndarray], None]] = None
+    smoothing_blocks: float = 8.0
+
+    def __post_init__(self):
+        from cutesdr_tpu.shard.coherent import DiversityReceiver
+        self.receiver = DiversityReceiver(self.cfg,
+                                          self.smoothing_blocks)
+        self.receiver.set_volume(self.settings.volume)
+        self.analyzer = SpectrumAnalyzer(
+            SpectrumConfig(fft_size=self.settings.display.fft_size,
+                           ave_size=self.settings.display.fft_ave,
+                           sample_rate=self.cfg.input_rate),
+            max_display_rate=self.settings.display.max_display_rate)
+        self.audio_queue = RateLockedQueue(stereo=self.cfg.stereo)
+        self.metrics = StreamMetrics()
+        self._pending = np.zeros((2, 0), np.complex64)
+        self._nominal_ratio = (self.cfg.output_rate /
+                               (self.cfg.audio_rate or self.cfg.output_rate))
+        self._last_correction = 0.0
+        self.current_tune = self.cfg.tune_freq
+        self.current_low, self.current_hi = self.cfg.low_cut, self.cfg.hi_cut
+        self.running = False
+
+    def start(self) -> None:
+        self.running = True
+        self.metrics = StreamMetrics()
+
+    def stop(self) -> None:
+        self.running = False
+
+    def flush(self) -> int:
+        return 0                           # synchronous pump: nothing staged
+
+    def pump(self, iq_stack) -> int:
+        """Feed a [2, n] coherent complex stack (any n; re-blocked)."""
+        if not self.running:
+            return 0
+        buf = np.concatenate(
+            [self._pending, np.asarray(iq_stack, np.complex64)], axis=1)
+        bs = self.cfg.block_size
+        blocks = 0
+        while buf.shape[1] >= bs:
+            chunk, buf = buf[:, :bs], buf[:, bs:]
+            if self.analyzer.feed(chunk[0]) and self.on_spectrum:
+                self.on_spectrum(self.analyzer.spectrum_db())
+            self.metrics.overload = self.analyzer.overload
+            out = self.receiver.process_host(chunk)
+            self.metrics.samples_in += bs
+            self.metrics.blocks += 1
+            n_aud = int(out.n_audio)
+            audio = np.asarray(out.audio)[:n_aud]
+            self.audio_queue.put_block(
+                np.clip(audio, -32767, 32767).astype(np.int16))
+            self.metrics.audio_samples_out += n_aud
+            self.metrics.smeter_ave_db = float(out.smeter_ave_db)
+            self.metrics.smeter_peak_db = float(out.smeter_peak_db)
+            blocks += 1
+        self._pending = buf
+
+        corr = self.audio_queue.rate_correction
+        if corr != self._last_correction and self.cfg.audio_rate:
+            self._last_correction = corr
+            self.metrics.ppm_error = self.audio_queue.ppm_error
+            self.receiver.set_resample_ratio(
+                self._nominal_ratio * (1.0 + corr))
+        return blocks
+
+    # ---------------------------------------------------------- controls --
+    @property
+    def gain(self) -> complex:
+        return self.receiver.last_gain
+
+    def tune(self, freq_hz: float) -> None:
+        self.receiver.set_tune_freq(freq_hz)
+        self.current_tune = freq_hz
+
+    def tune_clicked(self, freq_hz: float) -> float:
+        res = max(1, int(self.settings.demod[self.cfg.mode]
+                         .filter_click_resolution))
+        rounded = round(freq_hz / res) * res
+        self.tune(rounded)
+        return rounded
+
+    def set_filter(self, low_cut: float, hi_cut: float) -> tuple[float, float]:
+        from cutesdr_tpu.pipeline.receiver import MODE_LIMITS
+        hi_min, hi_max, low_min, low_max, sym = MODE_LIMITS[self.cfg.mode]
+        lo = float(min(max(low_cut, low_min), low_max))
+        hi = float(min(max(hi_cut, hi_min), hi_max))
+        if sym:
+            m = max(hi, -lo)
+            lo, hi = -m, m
+        self.receiver.set_filter(lo, hi)
+        self.current_low, self.current_hi = lo, hi
+        return lo, hi
+
+    def set_volume(self, vol: int) -> None:
+        self.settings.volume = vol
+        self.receiver.set_volume(vol)
+
+    def status_line(self) -> str:
+        g = self.gain
+        return (self.metrics.status_line()
+                + f" | rx2 gain {abs(g):.3f} ∠{np.degrees(np.angle(g)):.1f}°")

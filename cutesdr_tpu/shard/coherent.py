@@ -117,6 +117,25 @@ class DiversityReceiver:
             np.ascontiguousarray(np.imag(iq_stack), np.float32))
         return out
 
+    # --- live controls (shared param-update functions with Receiver) ---
+    def set_tune_freq(self, freq_hz: float) -> None:
+        self.params = self._rx.tune_params(self.cfg, self.params, freq_hz)
+
+    def set_filter(self, low_cut: float, hi_cut: float) -> None:
+        self.params = self._rx.filter_params(self.cfg, self.params,
+                                             low_cut, hi_cut)
+
+    def set_volume(self, vol_0_99: int) -> None:
+        self.params = self._rx.volume_params(self.params, vol_0_99)
+
+    def set_resample_ratio(self, ratio: float) -> None:
+        self.params = self._rx.ratio_params(self.params, ratio)
+
+    def set_dc_offset(self, i_off: float, q_off: float) -> None:
+        rd = jnp.real(self.params.dc_offset).dtype
+        self.params = self.params._replace(dc_offset=jax.lax.complex(
+            jnp.asarray(i_off, rd), jnp.asarray(q_off, rd)))
+
     @property
     def last_gain(self) -> complex:
         # pull re/im planes separately: complex scalars must not cross the

@@ -22,9 +22,13 @@ class FakeNetSdr:
     streams 16-bit IQ data packets of a tone over UDP."""
 
     def __init__(self, tone_hz=10_000.0, fs=500_000.0, amp=3000.0,
-                 n_packets=40):
+                 n_packets=40, rx2_gain=0.8 * np.exp(1j * np.radians(40.0))):
         self.tone_hz, self.fs, self.amp = tone_hz, fs, amp
         self.n_packets = n_packets
+        # channel-2 complex mismatch streamed in the dual modes (the MRC
+        # combiner should estimate this)
+        self.rx2_gain = rx2_gain
+        self.chan_setup = ci.CHAN_SETUP_SINGLE_1
         self.port = None
         self._udp_peer = None
         self._streaming = False
@@ -71,6 +75,9 @@ class FakeNetSdr:
             await writer.drain()
         elif msg.msg_type == ascp.TYPE_HOST_SET_CITEM:
             item = msg.citem()
+            if item == ci.RX_CHAN_SETUP:
+                msg.rewind()
+                self.chan_setup = msg.get_u8()
             if item == ci.RX_STATE:
                 msg.rewind()
                 msg.get_u8()
@@ -85,15 +92,34 @@ class FakeNetSdr:
             await writer.drain()
 
     async def _stream(self):
-        """Send n_packets packets of 256 samples of tone, 16-bit format."""
-        n = 256
+        """Send n_packets 1028-byte 16-bit packets: 256 tone samples, or —
+        in the dual channel modes — 128 samples per channel interleaved
+        I1 Q1 I2 Q2 with ch2 = rx2_gain·ch1 (the NetSDR dual payload
+        layout, interface/protocoldefs.h:143-152)."""
+        dual = self.chan_setup in (ci.CHAN_SETUP_DUAL_AD1,
+                                   ci.CHAN_SETUP_DUAL_AD2,
+                                   ci.CHAN_SETUP_DUAL_AD12)
         for _ in range(self.n_packets):
-            t = self._phase + np.arange(n)
-            iq = self.amp * np.exp(2j * np.pi * self.tone_hz / self.fs * t)
+            if dual:
+                n = 128
+                t = self._phase + np.arange(n)
+                ch1 = self.amp * np.exp(
+                    2j * np.pi * self.tone_hz / self.fs * t)
+                ch2 = self.rx2_gain * ch1
+                data = np.empty(4 * n, "<i2")
+                data[0::4] = np.round(ch1.real)
+                data[1::4] = np.round(ch1.imag)
+                data[2::4] = np.round(ch2.real)
+                data[3::4] = np.round(ch2.imag)
+            else:
+                n = 256
+                t = self._phase + np.arange(n)
+                iq = self.amp * np.exp(
+                    2j * np.pi * self.tone_hz / self.fs * t)
+                data = np.empty(2 * n, "<i2")
+                data[0::2] = np.round(iq.real)
+                data[1::2] = np.round(iq.imag)
             self._phase += n
-            data = np.empty(2 * n, "<i2")
-            data[0::2] = np.round(iq.real)
-            data[1::2] = np.round(iq.imag)
             pkt = struct.pack("<HH", 0x8204, self._seq & 0xFFFF) + data.tobytes()
             self._seq += 1
             self._udp.sendto(pkt, self._udp_peer)
@@ -219,3 +245,102 @@ def test_radio_center_tune_algebra():
     a = mk(freq=8_000_000.0, center=7_000_000.0)   # outside the band
     with pytest.raises(SystemExit):
         _apply_radio_rate(a)
+
+
+@pytest.mark.slow
+def test_cli_run_dual_channel_from_live_radio(tmp_path):
+    """`cli run --dual --source radio:...` drives CHAN_SETUP_DUAL_AD12
+    end-to-end: the fake NetSDR streams interleaved two-channel packets
+    with a ch2 mismatch of 0.8∠40°, decode_iq_packet_dual splits them,
+    the MRC DiversityReceiver estimates the mismatch and combines, and the
+    demodulated WAV carries the tone (VERDICT r2 item 7 — the reference
+    defines the dual protocol but never demodulates channel 2)."""
+    import threading
+    import wave
+
+    from cutesdr_tpu import cli
+
+    fs = 250_000.0
+    radio_box = {}
+    started = threading.Event()
+
+    def radio_thread():
+        async def main():
+            radio = FakeNetSdr(tone_hz=11_000.0, fs=fs, n_packets=4000)
+            await radio.start()
+            radio_box["port"] = radio.port
+            radio_box["radio"] = radio
+            radio_box["stop"] = stop = asyncio.Event()
+            started.set()
+            await stop.wait()
+            await radio.stop()
+
+        asyncio.run(main())
+
+    t = threading.Thread(target=radio_thread, daemon=True)
+    t.start()
+    assert started.wait(10.0)
+
+    out = str(tmp_path / "dual.wav")
+    rc = cli.main(["run", "--dual",
+                   "--source", f"radio:127.0.0.1:{radio_box['port']}",
+                   "--radio-type", "netsdr", "--bw-index", "1",
+                   "--mode", "usb", "--freq", "10000", "--center", "0",
+                   "--seconds", "0.4", "--out", out])
+    radio_box["stop"].set()
+    assert rc == 0
+    # the fake honored the dual channel-setup command
+    assert radio_box["radio"].chan_setup == ci.CHAN_SETUP_DUAL_AD12
+
+    with wave.open(out) as w:
+        n = w.getnframes()
+        assert n > 0
+        audio = np.frombuffer(w.readframes(n), np.int16).astype(np.float64)
+    a = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.fft.rfftfreq(len(a), 1 / 48000.0)[int(np.argmax(spec))]
+    assert abs(f_pk - 1000.0) < 50.0, f_pk
+
+
+def test_diversity_combiner_estimates_fake_radio_mismatch():
+    """SdrClient dual data plane -> DiversitySession: the combiner's gain
+    estimate converges to the fake's rx2 mismatch (0.8∠40°) and audio
+    flows."""
+    fs = 500_000.0
+
+    async def scenario():
+        radio = FakeNetSdr(tone_hz=11_000.0, fs=fs, n_packets=1000)
+        await radio.start()
+
+        from cutesdr_tpu.io.ascp import ci as _ci
+        from cutesdr_tpu.session import DiversitySession
+
+        cfg = ReceiverConfig(input_rate=fs, mode="usb",
+                             tune_freq=10_000.0, audio_rate=None,
+                             frames_per_block=1)
+        sess = DiversitySession(cfg, smoothing_blocks=2.0)
+        sess.start()
+
+        client = SdrClient(
+            host="127.0.0.1", port=radio.port,
+            on_iq_dual=lambda a, b: sess.pump(np.stack([a, b])))
+        client.channel_mode = _ci.CHAN_SETUP_DUAL_AD12
+        await client.connect()
+        await asyncio.sleep(0.3)
+        client.start()
+        client.set_rx2_parameters(1.0, 0.0)     # balance burst goes out
+        for _ in range(30):
+            await asyncio.sleep(0.15)
+            if sess.metrics.blocks >= 8:
+                break
+        await client.close()
+        await radio.stop()
+        return sess
+
+    sess = asyncio.run(scenario())
+    assert sess.metrics.blocks >= 8
+    g = sess.gain
+    assert abs(abs(g) - 0.8) < 0.1, g
+    assert abs(np.degrees(np.angle(g)) - 40.0) < 8.0, g
+    assert sess.metrics.audio_samples_out > 0
+    assert "rx2 gain" in sess.status_line()
