@@ -85,6 +85,27 @@ def _add_receiver_args(p: argparse.ArgumentParser,
                         "degrees (CI 0x0022)")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI command: remote compiles
+    through the dev rig's tunnel run 15 s - minutes, cached reruns ~0.2 s
+    (bench.py uses the same cache; kernels._cachefix keeps Pallas programs
+    cache-stable).  Uses ./.jax_cache when present (the repo convention),
+    else ~/.cache/cutesdr-tpu/xla; override with CUTESDR_TPU_CACHE_DIR."""
+    import os
+    try:
+        import jax
+        cache = os.environ.get("CUTESDR_TPU_CACHE_DIR")
+        if not cache:
+            local = os.path.join(os.getcwd(), ".jax_cache")
+            cache = local if os.path.isdir(local) else os.path.join(
+                os.path.expanduser("~"), ".cache", "cutesdr-tpu", "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception as e:                    # cache is an optimization only
+        print(f"note: compile cache disabled ({e!r})", file=sys.stderr)
+
+
 def _radio_type(args):
     from cutesdr_tpu.io.netsdr import RadioType
     return {"netsdr": RadioType.NETSDR, "sdrip": RadioType.SDRIP,
@@ -694,7 +715,8 @@ def cmd_serve(args) -> int:
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
                              on_filter=sess.set_filter,
-                             on_mode=on_mode).start()
+                             on_mode=on_mode,
+                             on_probe=sess.set_probe).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      mode=cfg.mode,
@@ -706,7 +728,8 @@ def cmd_serve(args) -> int:
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=sess.metrics.smeter_ave_db,
             overload=(sess.metrics.overload
-                      or _time.time() < ad_transient["until"]))
+                      or _time.time() < ad_transient["until"]),
+            probe=sess.probe_frame())
     source = _make_source(args, cfg.block_size)
     speaker = None
     if args.audio:
@@ -881,6 +904,7 @@ def main(argv=None) -> int:
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

@@ -169,6 +169,8 @@ class ReceiverConfig:
                 self.plan.decimation, self.fastfir_nfft, self.fastfir_ntaps,
                 front_dtype=self.front_dtype)
             if self.decimator_impl == "auto":
+                if dec == "pallas" and not _mixdec_tile(self):
+                    dec = "fused"      # block too short for one lane row
                 object.__setattr__(self, "decimator_impl", dec)
             if self.fastfir_impl == "auto":
                 object.__setattr__(self, "fastfir_impl", ff)
@@ -254,10 +256,34 @@ class StepOutput(NamedTuple):
     probes: Any                 # dict of taps if cfg.probes else None
 
 
+def _mixdec_tile(cfg: ReceiverConfig) -> int:
+    """Largest legal mixdec output tile for this block size: a multiple of
+    R = 128/decimation that divides the decimated block length, capped at
+    512 (the kernel's sweet spot).  0 = no legal tile (low-latency blocks
+    shorter than one lane row)."""
+    D = cfg.plan.decimation
+    if D < 1 or 128 % D:
+        return 0
+    R = 128 // D
+    out_per_block = cfg.block_size // D
+    best = 0
+    k = R
+    while k <= min(512, out_per_block):
+        if out_per_block % k == 0:
+            best = k
+        k += R
+    return best
+
+
 def _make_mixdec(cfg: ReceiverConfig):
     from cutesdr_tpu.kernels.mixdec import MixDecimate
+    tile = _mixdec_tile(cfg)
+    if not tile:
+        raise ValueError(
+            f"decimator_impl='pallas' has no legal tile for block "
+            f"{cfg.block_size} at decimation {cfg.plan.decimation}")
     return MixDecimate(cfg.plan, cfg.tune_freq - cfg.cw_offset,
-                       interpret=cfg.pallas_interpret)
+                       tile_out=tile, interpret=cfg.pallas_interpret)
 
 
 def _make_fastfir4(cfg: ReceiverConfig):

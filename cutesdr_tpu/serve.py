@@ -53,9 +53,19 @@ canvas{display:block;margin-top:4px;image-rendering:pixelated}
    <option value="gray">grayscale</option></select>
  2D <input id="split" type="range" min="10" max="90" value="40"
    style="width:90px;vertical-align:middle"> wfall
+ probe <select id="probe"><option value="off">off</option>
+   <option value="p1">p1 downconvert</option>
+   <option value="p2">p2 fastfir</option><option value="p3">p3 agc</option>
+   <option value="p4">p4 demod</option>
+   <option value="p5">p5 resampled</option>
+   <option value="p7">p7 blanker</option></select>
+ <select id="probeview"><option value="spectrum">spectrum</option>
+   <option value="scope">scope</option></select>
 </div>
 <canvas id="spec" width="1024" height="200"></canvas>
 <canvas id="wf" width="1024" height="300"></canvas>
+<div id="probebar" style="display:none;color:#9ab"></div>
+<canvas id="probecv" width="1024" height="140" style="display:none"></canvas>
 <table id="chlist" style="border-collapse:collapse;margin-top:6px"></table>
 <script>
 const spec = document.getElementById('spec'), wf = document.getElementById('wf');
@@ -164,7 +174,47 @@ function drawFrame(d){
     row.data[4*x]=r; row.data[4*x+1]=g; row.data[4*x+2]=b; row.data[4*x+3]=255;
   }
   wctx.putImageData(row,0,0);
+  drawProbe(d.probe);
 }
+// probe-tap scope (the testbench's spectrum / triggered-time instrument,
+// gui/testbench.cpp:583-898): second canvas fed from frame.probe
+const probecv = document.getElementById('probecv');
+const pctx = probecv.getContext('2d');
+function drawProbe(p){
+  const bar = document.getElementById('probebar');
+  if (!p){ probecv.style.display='none'; bar.style.display='none'; return; }
+  probecv.style.display=''; bar.style.display='';
+  const W = probecv.width, H = probecv.height;
+  pctx.fillStyle='#181818'; pctx.fillRect(0,0,W,H);
+  pctx.strokeStyle='#6f6'; pctx.beginPath();
+  if (p.view === 'scope'){
+    bar.textContent = `probe ${p.tap} — time (fs=${p.sample_rate} Hz)`;
+    const rec = p.record;
+    if (!rec) { pctx.fillStyle='#888'; pctx.fillText('armed…', 8, 16); return; }
+    let m = 1; for (const v of rec) m = Math.max(m, Math.abs(v));
+    for (let x=0; x<W; x++){
+      const v = rec[Math.floor(x*rec.length/W)];
+      const y = H/2 - (v/m)*(H/2-4);
+      if (x===0) pctx.moveTo(x,y); else pctx.lineTo(x,y);
+    }
+  } else {
+    bar.textContent = `probe ${p.tap} — spectrum (fs=${p.sample_rate} Hz)`;
+    const db = p.db;
+    for (let x=0; x<W; x++){
+      const v = db[Math.floor(x*db.length/W)];
+      const y = (1-(v-mindb)/(maxdb-mindb))*H;
+      if (x===0) pctx.moveTo(x,y); else pctx.lineTo(x,y);
+    }
+  }
+  pctx.stroke();
+}
+document.getElementById('probe').onchange = e =>
+  post('/probe', {tap: e.target.value,
+                  view: document.getElementById('probeview').value});
+document.getElementById('probeview').onchange = e => {
+  const tap = document.getElementById('probe').value;
+  if (tap !== 'off') post('/probe', {tap, view: e.target.value});
+};
 // channel table with persistent rows so the per-channel mini-waterfalls
 // scroll instead of being rebuilt every frame
 const chRows = new Map();
@@ -334,12 +384,14 @@ class SpectrumServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  sample_rate: float = 2e6, min_db: float = -120.0,
                  max_db: float = 0.0, on_tune=None, on_filter=None,
-                 on_select=None, on_mode=None):
+                 on_select=None, on_mode=None, on_probe=None):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
         self._overload = False
         self._channels: list[dict] = []
+        self._probe: dict | None = None
         self.on_select = on_select
+        self.on_probe = on_probe
         self._cond = threading.Condition()
         self._seq = 0
         self._stopping = False
@@ -423,6 +475,25 @@ class SpectrumServer:
                             outer.view["mode"] = applied
                     self._send(json.dumps({"mode": applied}).encode(),
                                "application/json")
+                elif self.path == "/probe" and outer.on_probe:
+                    # testbench probe scope (gui/testbench.cpp:583-898):
+                    # select a pipeline tap + view; empty/"off" disables
+                    try:
+                        applied = outer.on_probe(
+                            req.get("tap"),
+                            str(req.get("view", "spectrum")),
+                            str(req.get("trigger_mode", "free")),
+                            float(req.get("trigger_level", 0.0)))
+                    except ValueError as e:
+                        self._send(json.dumps(
+                            {"error": str(e)}).encode(),
+                            "application/json", code=400)
+                        return
+                    with outer._cond:
+                        if applied is None:
+                            outer._probe = None
+                    self._send(json.dumps({"tap": applied}).encode(),
+                               "application/json")
                 elif self.path == "/filter" and outer.on_filter:
                     lo = float(req.get("low_hz", outer.view["low_hz"]))
                     hi = float(req.get("hi_hz", outer.view["hi_hz"]))
@@ -457,6 +528,8 @@ class SpectrumServer:
         }
         if self._channels:
             frame["channels"] = self._channels
+        if self._probe is not None:
+            frame["probe"] = self._probe
         return json.dumps(frame).encode()
 
     def start(self) -> "SpectrumServer":
@@ -465,13 +538,15 @@ class SpectrumServer:
 
     def update(self, db: np.ndarray, smeter_db: float | None = None,
                channels: list[dict] | None = None,
-               overload: bool = False) -> None:
+               overload: bool = False,
+               probe: dict | None = None) -> None:
         with self._cond:
             self._db = np.asarray(db, np.float32)
             self._smeter = None if smeter_db is None else float(smeter_db)
             self._overload = bool(overload)
             if channels is not None:
                 self._channels = channels
+            self._probe = probe
             self._seq += 1
             self._cond.notify_all()
 

@@ -116,7 +116,13 @@ class ReceiverSession:
     max_cached_programs: int = 12
 
     def __post_init__(self):
+        import threading
         from collections import OrderedDict
+        # serializes the pump loop against structural switches arriving
+        # from other threads (serve's HTTP handlers: /mode, /probe) — the
+        # reference's reconfigure-vs-process mutexes
+        # (dsp/demodulator.cpp:109/166), one lock at session level
+        self._lock = threading.RLock()
         self.receiver = Receiver(self.cfg)
         self.receiver.set_volume(self.settings.volume)
         # bucketed LRU program cache: one Receiver (compiled step + stream
@@ -147,6 +153,10 @@ class ReceiverSession:
         self._last_correction = 0.0
         self.current_tune = self.cfg.tune_freq
         self.current_low, self.current_hi = self.cfg.low_cut, self.cfg.hi_cut
+        # probe-tap instrument (the testbench scope, set_probe below)
+        self._probe_tap: Optional[str] = None
+        self._probe_view = "spectrum"
+        self._probe_inst = None
         self.running = False
 
     def start(self) -> None:
@@ -162,6 +172,8 @@ class ReceiverSession:
         """Materialize one dispatched step (device->host) and deliver it.
         (samples_in/blocks were counted at dispatch; here the delivered
         half: audio, meters, queue accounting.)"""
+        if self._probe_tap is not None and out.probes is not None:
+            self._feed_probe(out.probes.get(self._probe_tap))
         n_aud = int(out.n_audio)
         audio = np.asarray(out.audio)[:n_aud]
         self.audio_queue.put_block(
@@ -175,6 +187,10 @@ class ReceiverSession:
     def flush(self) -> int:
         """Drain in-flight uploads and steps (call before reading final
         state)."""
+        with self._lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
         if self._ingest is not None:
             while self._ingest.pending:
                 self._dispatch_uploaded(self._ingest.poll(block=True))
@@ -193,6 +209,10 @@ class ReceiverSession:
         uploads k+1."""
         if not self.running:
             return 0
+        with self._lock:
+            return self._pump_locked(iq)
+
+    def _pump_locked(self, iq) -> int:
         buf = np.concatenate([self._pending, np.asarray(iq, np.complex64)])
         bs = self.cfg.block_size
         blocks = 0
@@ -258,6 +278,10 @@ class ReceiverSession:
         rates."""
         if not self.running:
             return 0
+        with self._lock:
+            return self._pump_planes_locked(re, im)
+
+    def _pump_planes_locked(self, re, im) -> int:
         if self._ingest is None:
             self._ingest = _IngestWorker(depth=max(1, self.pipeline_depth))
         re = np.asarray(re)
@@ -319,6 +343,14 @@ class ReceiverSession:
         pipeline.receiver.migrate_state — seamless like the reference's
         live SetDemod (dsp/demodulator.cpp:107-157)."""
         from cutesdr_tpu.pipeline.receiver import migrate_state
+        self._lock.acquire()
+        try:
+            self._switch_to_locked(new_cfg, migrate_state)
+        finally:
+            self._lock.release()
+
+    def _switch_to_locked(self, new_cfg: ReceiverConfig,
+                          migrate_state) -> None:
         self.flush()                      # deliver in-flight steps first
         old_cfg, old_state = self.cfg, self.receiver.state
         key = self._cfg_key(new_cfg)
@@ -394,6 +426,101 @@ class ReceiverSession:
             saved = rx.state
             rx.process_host(np.zeros(cfg.block_size, np.complex64))
             rx.state = saved
+
+    # ----------------------------------------------------- probe scope ----
+    PROBE_TAPS = ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod",
+                  "p5_resampled", "p7_blanker")
+
+    def _tap_rate(self, key: str) -> float:
+        c = self.cfg
+        if key == "p7_blanker":
+            return c.input_rate
+        if key == "p5_resampled":
+            return c.audio_rate or c.output_rate
+        return c.output_rate
+
+    def set_probe(self, tap: Optional[str], view: str = "spectrum",
+                  trigger_mode: str = "free", trigger_level: float = 0.0,
+                  length: int = 1024) -> Optional[str]:
+        """Select a live probe tap for the serving UI — the testbench's
+        probe scope (gui/testbench.cpp:583-898): any of the pipeline's
+        named taps rendered as an averaged spectrum or a (level-triggered)
+        time capture.  Enabling a tap switches to the probes-enabled
+        compiled program glitch-free (stream state migrates); ``None``
+        switches back.  Returns the applied tap (None = off)."""
+        with self._lock:
+            return self._set_probe_locked(tap, view, trigger_mode,
+                                          trigger_level, length)
+
+    def _set_probe_locked(self, tap, view, trigger_mode, trigger_level,
+                          length):
+        from dataclasses import replace
+
+        from cutesdr_tpu.testbench.probes import (ProbeSpectrum,
+                                                  TriggeredCapture,
+                                                  TriggerMode)
+        short = {"p1": "p1_downconvert", "p2": "p2_fastfir", "p3": "p3_agc",
+                 "p4": "p4_demod", "p5": "p5_resampled", "p7": "p7_blanker"}
+        tap = short.get(tap, tap)
+        if tap in (None, "", "off"):
+            if self.cfg.probes:
+                self._switch_to(replace(self.cfg, probes=False))
+            self._probe_tap = self._probe_inst = None
+            return None
+        if tap not in self.PROBE_TAPS:
+            raise ValueError(f"unknown probe tap {tap!r}")
+        if tap == "p7_blanker" and not self.cfg.nb_on:
+            raise ValueError("p7 requires the noise blanker (nb_on)")
+        if tap == "p5_resampled" and self.cfg.audio_rate is None:
+            raise ValueError("p5 requires the 48 kHz resampler (audio_rate)")
+        if not self.cfg.probes:
+            self._switch_to(replace(self.cfg, probes=True))
+        self._probe_tap = tap
+        self._probe_view = view
+        if view == "scope":
+            mode = {"free": TriggerMode.FREE_RUN,
+                    "pos": TriggerMode.NORM_POS,
+                    "neg": TriggerMode.NORM_NEG,
+                    "single+": TriggerMode.SINGLE_POS,
+                    "single-": TriggerMode.SINGLE_NEG}[trigger_mode]
+            self._probe_inst = TriggeredCapture(
+                length=length, pre_samples=length // 4,
+                level=trigger_level,
+                hysteresis=max(1.0, abs(trigger_level) * 0.05), mode=mode)
+        else:
+            self._probe_inst = ProbeSpectrum(self._tap_rate(tap))
+        return tap
+
+    def _feed_probe(self, leaf) -> None:
+        if leaf is None or self._probe_inst is None:
+            return
+        arr = np.asarray(leaf)
+        if arr.ndim == 2 and arr.shape[-1] == 2:     # split complex leaf
+            arr = arr[..., 0] + 1j * arr[..., 1]
+        if self._probe_view == "scope":
+            self._probe_inst.feed(np.real(arr))
+        else:
+            self._probe_inst.feed(arr)
+
+    def probe_frame(self) -> Optional[dict]:
+        """Latest probe display frame for the server (or None)."""
+        with self._lock:
+            return self._probe_frame_locked()
+
+    def _probe_frame_locked(self) -> Optional[dict]:
+        if self._probe_tap is None or self._probe_inst is None:
+            return None
+        base = {"tap": self._probe_tap, "view": self._probe_view,
+                "sample_rate": self._tap_rate(self._probe_tap)}
+        if self._probe_view == "scope":
+            rec = self._probe_inst.record
+            if rec is None:
+                return {**base, "record": None}
+            return {**base,
+                    "record": [round(float(v), 2) for v in rec]}
+        return {**base,
+                "db": [round(float(v), 1)
+                       for v in self._probe_inst.spectrum_db()]}
 
     # ---------------------------------------------------------- controls --
     def tune(self, freq_hz: float) -> None:

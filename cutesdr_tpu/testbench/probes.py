@@ -131,23 +131,30 @@ class ProbeSpectrum:
     ave: int = 4
 
     def __post_init__(self):
+        import jax
+
+        from cutesdr_tpu.pipeline import spectrum as sp
         from cutesdr_tpu.pipeline.spectrum import SpectrumConfig, init
         self._cfg = SpectrumConfig(fft_size=self.fft_size, ave_size=self.ave,
                                    sample_rate=self.sample_rate)
         self._state = init(self._cfg)
         self._pending = np.zeros(0, np.complex64)
+        # frames cross host->device as f32 re/im planes: complex64 across
+        # the boundary wedges the axon TPU tunnel (CLAUDE.md)
+        self._acc = jax.jit(lambda s, re, im: sp.accumulate(
+            self._cfg, s, jax.lax.complex(re, im)))
 
     def feed(self, block: np.ndarray) -> None:
-        from cutesdr_tpu.pipeline import spectrum as sp
-        import jax.numpy as jnp
         x = np.asarray(block)
         if not np.iscomplexobj(x):
             x = x.astype(np.complex64)
         buf = np.concatenate([self._pending, x])
         n = self.fft_size
         while len(buf) >= n:
-            self._state, _ = sp.accumulate(self._cfg, self._state,
-                                           jnp.asarray(buf[:n]))
+            self._state, _ = self._acc(
+                self._state,
+                np.ascontiguousarray(np.real(buf[:n]), np.float32),
+                np.ascontiguousarray(np.imag(buf[:n]), np.float32))
             buf = buf[n:]
         self._pending = buf
 

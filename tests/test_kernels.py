@@ -218,3 +218,33 @@ def test_mosaic_cachefix_installed():
     from cutesdr_tpu.kernels import _cachefix
     assert _cachefix._applied
     assert tcc._lower_mosaic_module_to_asm.__name__ == "stable_lower"
+
+
+def test_mixdec_small_block_low_latency_config():
+    """The serve low-latency path (small fastfir → block 1024) must work
+    with the pallas mixdec: the output tile adapts to the block instead of
+    assuming 512 (regression: serve on TPU crashed with 'block 1024 not a
+    multiple of 2048')."""
+    from cutesdr_tpu.design.latency import choose_fastfir_sizes
+    from cutesdr_tpu.pipeline.receiver import (Receiver, ReceiverConfig,
+                                               _mixdec_tile)
+
+    from dataclasses import replace
+    base = choose_fastfir_sizes(
+        ReceiverConfig(input_rate=250_000.0, mode="usb",
+                       tune_freq=60_000.0, audio_rate=48000.0), 0.010)
+    kw = dict(input_rate=250_000.0, mode="usb", tune_freq=60_000.0,
+              audio_rate=48000.0, fastfir_nfft=base.fastfir_nfft,
+              fastfir_ntaps=base.fastfir_ntaps)
+    cfg_p = ReceiverConfig(decimator_impl="pallas", pallas_interpret=True,
+                           **kw)
+    assert _mixdec_tile(cfg_p) > 0
+    cfg_x = ReceiverConfig(decimator_impl="fused", **kw)
+    assert cfg_p.block_size == cfg_x.block_size
+    x = tone(cfg_p.block_size * 2, 61_000.0, 250_000.0, -20.0)
+    rx_p, rx_x = Receiver(cfg_p), Receiver(cfg_x)
+    a_p = np.concatenate([np.asarray(rx_p.process(jnp.asarray(b, C64)).audio)
+                          for b in np.split(x, 2)])
+    a_x = np.concatenate([np.asarray(rx_x.process(jnp.asarray(b, C64)).audio)
+                          for b in np.split(x, 2)])
+    np.testing.assert_allclose(a_p, a_x, atol=5e-4 * np.abs(a_x).max())

@@ -230,3 +230,87 @@ def test_mode_switch_endpoint():
     finally:
         sess.stop()
         srv.stop()
+
+
+def test_probe_tap_scope_over_http():
+    """The serving UI's probe-tap scope (VERDICT r2 item 8, the last
+    reference debugging affordance, gui/testbench.cpp:583-898): POST
+    /probe selects a live pipeline tap, frames then carry the tap's
+    spectrum (or triggered time record); 'off' removes it."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.session import ReceiverSession
+    from cutesdr_tpu.testbench.generators import tone
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=60_000.0, audio_rate=48000.0)
+    sess = ReceiverSession(cfg)
+    sess.start()
+    srv = SpectrumServer(port=0, sample_rate=cfg.input_rate,
+                         on_tune=sess.tune_clicked,
+                         on_probe=sess.set_probe).start()
+    sess.on_spectrum = lambda db: srv.update(
+        db, smeter_db=sess.metrics.smeter_ave_db, probe=sess.probe_frame())
+    sess.analyzer.max_display_rate = 1e9
+    sess.analyzer._skip = 1
+
+    def post(path, body, expect=200):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(body).encode(), method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def frame():
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/spectrum.json") as r:
+            return json.loads(r.read())
+
+    try:
+        x = tone(cfg.block_size * 6, 61_000.0, cfg.input_rate, -20.0)
+
+        # select the channel-filter tap as a spectrum
+        code, d = post("/probe", {"tap": "p2", "view": "spectrum"})
+        assert code == 200 and d["tap"] == "p2_fastfir"
+        for b in np.split(x, 6):
+            sess.pump(b)
+        sess.flush()
+        d = frame()
+        assert "probe" in d
+        p = d["probe"]
+        assert p["tap"] == "p2_fastfir" and p["view"] == "spectrum"
+        db = np.asarray(p["db"])
+        # the 1 kHz audio tone peaks near +1 kHz at the decimated rate
+        pk = (np.argmax(db) - len(db) // 2) * p["sample_rate"] / len(db)
+        assert abs(pk - 1000.0) < 100.0, pk
+
+        # scope view on the demod tap: free-run record arrives
+        code, d = post("/probe", {"tap": "p4", "view": "scope",
+                                  "trigger_mode": "free"})
+        assert code == 200 and d["tap"] == "p4_demod"
+        for b in np.split(x, 6):
+            sess.pump(b)
+        sess.flush()
+        p = frame()["probe"]
+        assert p["view"] == "scope" and p["record"] is not None
+        assert len(p["record"]) == 1024
+
+        # invalid tap is a 400, state unchanged
+        code, d = post("/probe", {"tap": "p9"})
+        assert code == 400 and "error" in d
+
+        # p7 without the blanker is a 400 (clear error, not a crash)
+        code, d = post("/probe", {"tap": "p7"})
+        assert code == 400
+
+        # off removes the probe from frames
+        code, d = post("/probe", {"tap": "off"})
+        assert code == 200 and d["tap"] is None
+        sess.pump(x[:cfg.block_size])
+        sess.flush()
+        assert "probe" not in frame()
+        assert not sess.cfg.probes          # switched back, glitch-free
+    finally:
+        srv.stop()
