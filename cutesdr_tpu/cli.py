@@ -681,6 +681,7 @@ def cmd_serve(args) -> int:
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      mode=cfg.mode,
+                     rf_center=float(args.center or 0.0),
                      click_res=sess.settings.demod[cfg.mode]
                      .filter_click_resolution)
         ad_transient = {"until": 0.0}
@@ -720,6 +721,7 @@ def cmd_serve(args) -> int:
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      mode=cfg.mode,
+                     rf_center=float(args.center or 0.0),
                      click_res=sess.settings.demod[cfg.mode]
                      .filter_click_resolution)
         # radio-reported A/D overload shows as a timed transient, OR'd with

@@ -41,6 +41,9 @@ canvas{display:block;margin-top:4px;image-rendering:pixelated}
 #ctl input[type=number]{width:4.5em}
 </style></head><body>
 <div id="bar">cutesdr-tpu — <span id="status">connecting…</span></div>
+<div id="freqctrl" title="per-digit tuning: wheel or click upper/lower half;
+type digits after clicking one" style="font-size:28px;letter-spacing:1px;
+cursor:ns-resize;user-select:none;margin:2px 0"></div>
 <div id="ctl">
  <select id="mode" style="display:none"><option>am</option><option>sam</option>
    <option>fm</option><option>usb</option><option>lsb</option>
@@ -127,6 +130,7 @@ function drawFrame(d){
   wheelTarget = null;        // frame confirms the tune; next wheel re-bases
   Object.assign(view, {tune_hz:d.tune_hz, low_hz:d.low_hz, hi_hz:d.hi_hz,
     symmetric:d.symmetric, sample_rate:d.sample_rate,
+    rf_center:d.rf_center ?? view.rf_center ?? 0,
     click_res:d.click_res ?? view.click_res});
   syncMode(d);
   document.getElementById('status').textContent =
@@ -175,6 +179,7 @@ function drawFrame(d){
   }
   wctx.putImageData(row,0,0);
   drawProbe(d.probe);
+  fcRender();
 }
 // probe-tap scope (the testbench's spectrum / triggered-time instrument,
 // gui/testbench.cpp:583-898): second canvas fed from frame.probe
@@ -208,6 +213,64 @@ function drawProbe(p){
   }
   pctx.stroke();
 }
+// per-digit frequency entry (CFreqCtrl, gui/freqctrl.cpp: per-digit
+// wheel/click/keyboard editing, lead-zero dimming, min/max clamp).  Shows
+// the ABSOLUTE station frequency rf_center + tune; edits POST /tune with
+// the baseband remainder.
+const NDIGITS = 10;                      // up to 9.999 999 999 GHz
+const fcDiv = document.getElementById('freqctrl');
+let fcActive = -1;                       // keyboard-selected digit
+function fcValue(){ return Math.round((view.rf_center||0) + view.tune_hz); }
+function fcClamp(v){
+  const c = view.rf_center||0, half = view.sample_rate/2;
+  return Math.max(Math.max(0, c-half), Math.min(c+half, v));
+}
+function fcSet(v){
+  v = fcClamp(v);
+  post('/tune', {freq_hz: v - (view.rf_center||0)});
+}
+function fcRender(){
+  const v = fcValue();
+  const s = String(Math.max(0, v)).padStart(NDIGITS, '0');
+  let msd = s.length - String(Math.max(1, v)).length; // lead-zero boundary
+  let html = '';
+  for (let i = 0; i < NDIGITS; i++){
+    const dim = i < msd && !(fcActive === i);
+    const sel = fcActive === i;
+    html += `<span class="fcd" data-i="${i}" style="color:${
+      dim ? '#444' : '#fc0'};${sel ? 'background:#334;' : ''}padding:0 1px">${
+      s[i]}</span>`;
+    if ((NDIGITS - 1 - i) % 3 === 0 && i < NDIGITS - 1)
+      html += '<span style="color:#666">.</span>';
+  }
+  fcDiv.innerHTML = html + '<span style="font-size:14px;color:#888"> Hz</span>';
+}
+fcDiv.addEventListener('wheel', ev => {
+  ev.preventDefault();
+  const t = ev.target.closest('.fcd'); if (!t) return;
+  const step = Math.pow(10, NDIGITS - 1 - (+t.dataset.i));
+  fcSet(fcValue() + (ev.deltaY < 0 ? step : -step));
+}, {passive:false});
+fcDiv.addEventListener('mousedown', ev => {
+  const t = ev.target.closest('.fcd'); if (!t) return;
+  const r = t.getBoundingClientRect();
+  const step = Math.pow(10, NDIGITS - 1 - (+t.dataset.i));
+  // click upper half increments, lower half decrements (freqctrl.cpp)
+  fcSet(fcValue() + ((ev.clientY - r.top) < r.height/2 ? step : -step));
+  fcActive = +t.dataset.i; fcRender();
+});
+window.addEventListener('keydown', ev => {
+  if (fcActive < 0) return;
+  if (ev.key >= '0' && ev.key <= '9'){
+    const step = Math.pow(10, NDIGITS - 1 - fcActive);
+    const v = fcValue();
+    const cur = Math.floor(v / step) % 10;
+    fcSet(v + (Number(ev.key) - cur) * step);
+    fcActive = Math.min(NDIGITS - 1, fcActive + 1); fcRender();
+  } else if (ev.key === 'ArrowLeft'){ fcActive = Math.max(0, fcActive-1); fcRender(); }
+  else if (ev.key === 'ArrowRight'){ fcActive = Math.min(NDIGITS-1, fcActive+1); fcRender(); }
+  else if (ev.key === 'Escape'){ fcActive = -1; fcRender(); }
+});
 document.getElementById('probe').onchange = e =>
   post('/probe', {tap: e.target.value,
                   view: document.getElementById('probeview').value});

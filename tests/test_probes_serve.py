@@ -314,3 +314,24 @@ def test_probe_tap_scope_over_http():
         assert not sess.cfg.probes          # switched back, glitch-free
     finally:
         srv.stop()
+
+
+def test_freqctrl_digit_editor_served():
+    """The per-digit frequency control (gui/freqctrl.cpp's web equivalent):
+    the page carries the editor + its digit logic, and frames carry the
+    rf_center the editor needs to display absolute station frequency."""
+    srv = SpectrumServer(port=0, sample_rate=1e6).start()
+    try:
+        srv.set_view(tune_hz=12_345.0, rf_center=7_000_000.0)
+        srv.update(np.full(1024, -100.0))
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as r:
+            page = r.read().decode()
+        for needle in ("freqctrl", "fcRender", "lead-zero", "fcClamp"):
+            assert needle in page, needle
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/spectrum.json") as r:
+            d = json.loads(r.read())
+        assert d["rf_center"] == 7_000_000.0
+        assert d["tune_hz"] == 12_345.0
+    finally:
+        srv.stop()
