@@ -53,11 +53,13 @@ LANE = 128
 
 
 def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
-            z_re_ref, z_im_ref,     # ANY: [rows, 128] raw stream views
-            w4_ref,                 # VMEM [128, R*C] residue tap matrix
+            z_re_ref, z_im_ref,     # ANY: [rows, lane] raw stream views
+            w4_ref,                 # VMEM [lane, R*C] residue tap matrix
             y_ref,                  # VMEM out [2R, TO4]
-            *, TO4: int, R: int, C: int, halo_rows: int):
-    m_rows = TO4 + C - 1
+            *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE):
+    # VMEM scratch rows must be 8-aligned (Mosaic tiling); the extra rows
+    # read zero padding and feed matmul rows that are never summed
+    m_rows = -(-(TO4 + C - 1) // 8) * 8
     i = pl.program_id(0)
 
     def body(zr_s, zi_s, sem):
@@ -71,11 +73,11 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
 
         base = scalars_ref[0]
         inc = scalars_ref[1]
-        # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*128 + q
-        m_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, LANE), 0)
-        q_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, LANE), 1)
+        # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*lane + q
+        m_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, lane), 0)
+        q_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, lane), 1)
         offs = ((jnp.uint32(i * TO4) + m_ids - jnp.uint32(halo_rows))
-                * jnp.uint32(LANE) + q_ids)
+                * jnp.uint32(lane) + q_ids)
         acc = base + offs * inc
         # Mosaic can't cast uint32->f32; reinterpret as int32, which maps
         # the phase to [-pi, pi) — identical modulo 2*pi
@@ -106,8 +108,8 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((m_rows, LANE), jnp.float32),
-        pltpu.VMEM((m_rows, LANE), jnp.float32),
+        pltpu.VMEM((m_rows, lane), jnp.float32),
+        pltpu.VMEM((m_rows, lane), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -125,7 +127,13 @@ class MixDecCarry(NamedTuple):
 class MixDecimate:
     """Streaming wrapper equivalent to nco.process + decimator.fused_process
     (the carried history is *raw* input; back-dated oscillator phases come
-    from uint32 wraparound).  Requires 128 % decimation == 0."""
+    from uint32 wraparound).
+
+    Supported decimations: D dividing 128 (lane rows hold 128/D outputs,
+    residue-decomposed — the original form) and D a multiple of 128 (the
+    20 MSPS-class plans: the stream is viewed as rows of ``lane = D``
+    samples — still 128-aligned — so each row yields exactly one output,
+    R = 1, same diagonal-band matmul)."""
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
                  tile_out: int = 512, interpret: bool = False):
@@ -133,15 +141,22 @@ class MixDecimate:
 
         self.plan = plan
         D = self.D = plan.decimation
-        if LANE % D:
-            raise ValueError(f"decimation {D} must divide {LANE}")
-        self.R = LANE // D
+        if LANE % D == 0:
+            self.lane = LANE
+            self.R = LANE // D
+        elif D % LANE == 0:
+            self.lane = D                    # G = D/128 lane tiles per row
+            self.R = 1
+        else:
+            raise ValueError(f"decimation {D} must divide or be a "
+                             f"multiple of {LANE}")
+        lane = self.lane
         h = np.asarray(plan.composed_taps())[::-1]       # flipped (corr form)
         d = dec_ops.total_offset(plan)
         L = len(h)
         # raw history needed: L-1-d samples, rounded up to whole lane rows
-        self.halo_rows = int(np.ceil((L - 1 - d) / LANE))
-        halo = self.halo_rows * LANE
+        self.halo_rows = int(np.ceil((L - 1 - d) / lane))
+        halo = self.halo_rows * lane
         shift = halo - (L - 1 - d)
         # padded window taps: y[n] = sum_j w_pad[j] z[n*D + j] over
         # z = [tail(halo), x]
@@ -149,15 +164,15 @@ class MixDecimate:
         w_pad = np.zeros(w_len)
         w_pad[shift:shift + L] = h
         # residue decomposition: output n = R*n' + r looks at samples
-        # n*D + j = n'*128 + (r*D + j); with q = (r*D + j) mod 128 and
-        # c = (r*D + j) // 128:  W4[q, R*c + r] = w_pad[128*c + q - r*D]
-        self.C = int(np.ceil((w_len + (self.R - 1) * D) / LANE))
-        w4 = np.zeros((LANE, self.R * self.C))
+        # n*D + j = n'*lane + (r*D + j); with q = (r*D + j) mod lane and
+        # c = (r*D + j) // lane:  W4[q, R*c + r] = w_pad[lane*c + q - r*D]
+        self.C = int(np.ceil((w_len + (self.R - 1) * D) / lane))
+        w4 = np.zeros((lane, self.R * self.C))
         for r in range(self.R):
             for c in range(self.C):
-                q0 = r * D - LANE * c       # j = 128c + q - rD >= 0 <=> q >= q0
+                q0 = r * D - lane * c    # j = lane*c + q - rD >= 0 <=> q >= q0
                 lo = max(0, q0)
-                hi = min(LANE, q0 + w_len)
+                hi = min(lane, q0 + w_len)
                 if lo < hi:
                     w4[lo:hi, self.R * c + r] = w_pad[lo - q0:hi - q0]
         self.w4 = w4
@@ -174,7 +189,7 @@ class MixDecimate:
 
     @property
     def halo(self) -> int:
-        return self.halo_rows * LANE
+        return self.halo_rows * self.lane
 
     def init_carry(self) -> MixDecCarry:
         return MixDecCarry(
@@ -189,22 +204,24 @@ class MixDecimate:
     def __call__(self, params: MixDecParams, carry: MixDecCarry,
                  x: jax.Array) -> tuple[MixDecCarry, jax.Array]:
         n = x.shape[-1]
-        TO4, R, C = self.TO4, self.R, self.C
-        samples_per_tile = TO4 * LANE
+        TO4, R, C, lane = self.TO4, self.R, self.C, self.lane
+        samples_per_tile = TO4 * lane
         if n % samples_per_tile:
             raise ValueError(f"block {n} not a multiple of {samples_per_tile}")
         n_tiles = n // samples_per_tile
         z = jnp.concatenate([carry.raw_tail, x])
         new_tail = z[z.shape[-1] - self.halo:]
-        # pad right so the last tile's window (TO4 + C - 1 rows) exists
-        zp = jnp.concatenate([z, jnp.zeros((C - 1) * LANE, z.dtype)])
+        # pad right so the last tile's 8-aligned window exists
+        m_rows = TO4 + C - 1
+        pad_rows = (C - 1) + (-(-m_rows // 8) * 8 - m_rows)
+        zp = jnp.concatenate([z, jnp.zeros(pad_rows * lane, z.dtype)])
         scalars = jnp.stack([carry.phase_base, params.phase_inc])
-        rows = zp.shape[-1] // LANE
-        z_re = zp.real.reshape(rows, LANE)
-        z_im = zp.imag.reshape(rows, LANE)
+        rows = zp.shape[-1] // lane
+        z_re = zp.real.reshape(rows, lane)
+        z_im = zp.imag.reshape(rows, lane)
 
         kernel = functools.partial(_kernel, TO4=TO4, R=R, C=C,
-                                   halo_rows=self.halo_rows)
+                                   halo_rows=self.halo_rows, lane=lane)
         y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

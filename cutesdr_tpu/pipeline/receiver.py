@@ -68,8 +68,10 @@ def _default_backend() -> str:
 
 def mixdec_supported(decimation: int) -> bool:
     """Legality of the fused Pallas mix+decimate kernel for a plan
-    (kernels/mixdec.py requires the decimation to divide the 128 lanes)."""
-    return decimation >= 1 and 128 % decimation == 0
+    (kernels/mixdec.py: the decimation must divide the 128 lanes, or be a
+    multiple of 128 — the wide-row form used by 20 MSPS-class plans)."""
+    return decimation >= 1 and (128 % decimation == 0
+                                or decimation % 128 == 0)
 
 
 def fastfir4_supported(nfft: int, ntaps: int) -> bool:
@@ -262,9 +264,9 @@ def _mixdec_tile(cfg: ReceiverConfig) -> int:
     512 (the kernel's sweet spot).  0 = no legal tile (low-latency blocks
     shorter than one lane row)."""
     D = cfg.plan.decimation
-    if D < 1 or 128 % D:
+    if not mixdec_supported(D):
         return 0
-    R = 128 // D
+    R = 128 // D if 128 % D == 0 else 1
     out_per_block = cfg.block_size // D
     best = 0
     k = R

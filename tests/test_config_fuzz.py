@@ -54,11 +54,12 @@ def test_auto_front_end_resolution_boundaries():
                                                mixdec_supported,
                                                resolve_front_end)
 
-    # divisibility boundary: powers of two <= 128 divide the lanes
-    for d in (1, 2, 4, 8, 16, 32, 64, 128):
+    # legality: powers of two <= 128 divide the lanes; multiples of 128
+    # take the wide-row form (20 MSPS-class plans)
+    for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
         assert mixdec_supported(d)
         assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "pallas"
-    for d in (3, 48, 96, 256, 512, 1024):
+    for d in (3, 48, 96, 192, 320):
         assert not mixdec_supported(d)
         assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "fused"
 

@@ -248,3 +248,35 @@ def test_mixdec_small_block_low_latency_config():
     a_x = np.concatenate([np.asarray(rx_x.process(jnp.asarray(b, C64)).audio)
                           for b in np.split(x, 2)])
     np.testing.assert_allclose(a_p, a_x, atol=5e-4 * np.abs(a_x).max())
+
+
+def test_mixdec_wide_decimation_matches_xla(rng):
+    """Decimation >= 128 (the 20 MSPS flagship's x256 plan) takes the
+    wide-row mixdec form: rows of `lane = D` samples, one output per row
+    (R=1), same diagonal-band matmul.  Must match the XLA-composed
+    NCO + fused decimator."""
+    from cutesdr_tpu.design.decimation_plan import plan_decimation
+    from cutesdr_tpu.ops import decimator, nco
+
+    plan = plan_decimation(16_000_000.0, 20_000.0)
+    assert plan.decimation == 256, plan.decimation
+    tune = 1_234_567.0
+    md = MixDecimate(plan, tune, tile_out=8, interpret=True)
+    n = 8 * 256 * 2                      # 2 tiles per block
+    x = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+         * 100).astype(np.complex64)
+
+    np_, nc = nco.init(tune, plan.in_rate)
+    dp, dc = decimator.fused_init(plan, jnp.complex64, jnp.float32)
+    kc = md.init_carry()
+    got, want = [], []
+    for b in np.split(x, 2):
+        kc, y1 = md(md.params, kc, jnp.asarray(b))
+        nc, mixed = nco.process(np_, nc, jnp.asarray(b))
+        dc, y2 = decimator.fused_process(plan, dp, dc, mixed)
+        got.append(np.asarray(y1))
+        want.append(np.asarray(y2))
+    got, want = np.concatenate(got), np.concatenate(want)
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
