@@ -11,3 +11,4 @@ neighbor devices exchange over ICI via ppermute.
 from cutesdr_tpu.shard.mesh import make_mesh
 from cutesdr_tpu.shard.timeshard import ShardedReceiver
 from cutesdr_tpu.shard.channels import ChannelBank, StackedReceiver
+from cutesdr_tpu.shard.pipeline import PipelinedReceiver
