@@ -366,7 +366,18 @@ def _make_source(args, block_size):
     if spec.startswith("udp:"):
         from cutesdr_tpu.io.native_ingest import NativeIngest
         ing = NativeIngest(int(spec[4:]))
-        return lambda: ing.read(block_size, timeout_ms=2000)
+
+        class _UdpSource:
+            planes = True            # yields (re, im) float32 planes
+            live = True
+            client = None
+
+            def __call__(self):
+                return ing.read_planes(block_size, timeout_ms=2000)
+
+            def close(self):
+                ing.close()
+        return _UdpSource()
     if spec.startswith("radio:"):
         parts = spec.split(":")
         host = parts[1]
@@ -396,8 +407,10 @@ def cmd_run(args) -> int:
             if iq is None:
                 break
             # host-plane path: no complex64 across the device boundary
-            # (stereo audio / complex probes arrive as [..., 2] stacks)
-            out = rx.process_host(iq)
+            # (stereo audio / complex probes arrive as [..., 2] stacks);
+            # native udp: sources deliver ready-made (re, im) planes
+            out = (rx.process_planes(*iq) if isinstance(iq, tuple)
+                   else rx.process_host(iq))
             audio = np.asarray(out.audio)[:int(out.n_audio)]
             if args.stereo:
                 audio = audio[..., 0] + 1j * audio[..., 1]
@@ -491,7 +504,11 @@ def cmd_spectrum(args) -> int:
         iq = source()
         if iq is None:
             break
-        if sa.feed(np.asarray(iq, np.complex64)):
+        if isinstance(iq, tuple):
+            ok = sa.feed_planes(*iq)
+        else:
+            ok = sa.feed(np.asarray(iq, np.complex64))
+        if ok:
             frames += 1
     if hasattr(source, "close"):
         source.close()
@@ -747,7 +764,12 @@ def cmd_serve(args) -> int:
             iq = source()
             if iq is None:
                 break
-            sess.pump(iq)
+            if isinstance(iq, tuple) and hasattr(sess, "pump_planes"):
+                sess.pump_planes(*iq)    # native plane sources, no re-pack
+            elif isinstance(iq, tuple):
+                sess.pump(iq[0] + 1j * iq[1])
+            else:
+                sess.pump(iq)
             if not args.channels:
                 _apply_spur_cal(source, sess.receiver)
                 client = getattr(source, "client", None)

@@ -34,6 +34,11 @@ def _load() -> ctypes.CDLL:
     lib.ingest_read.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int64, ctypes.c_int]
+    lib.ingest_read_planes.restype = ctypes.c_int64
+    lib.ingest_read_planes.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_int64, ctypes.c_int]
     lib.ingest_available.restype = ctypes.c_int64
     lib.ingest_available.argtypes = [ctypes.c_void_p]
     lib.ingest_stats.argtypes = [ctypes.c_void_p,
@@ -64,6 +69,19 @@ class NativeIngest:
         if got == 0:
             return None
         return buf.view(np.complex64)
+
+    def read_planes(self, n: int, timeout_ms: int = 1000):
+        """Blocking read of n samples as separate (re, im) float32 planes
+        (None on timeout) — deinterleaved in the native copy-out; feeds
+        ReceiverSession.pump_planes without a host conversion pass."""
+        re = np.empty(n, np.float32)
+        im = np.empty(n, np.float32)
+        got = self._lib.ingest_read_planes(
+            self._h, re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, timeout_ms)
+        if got == 0:
+            return None
+        return re, im
 
     @property
     def available(self) -> int:

@@ -291,6 +291,11 @@ class ReceiverSession:
             self._pending_im = self._pending_im.astype(im.dtype)
         buf_re = np.concatenate([self._pending_re, re])
         buf_im = np.concatenate([self._pending_im, im])
+        if buf_re.dtype not in (np.int16, np.float32):
+            # mixed-dtype feeds promote (i16+f32 -> f64); keep the device
+            # contract to the two supported wire dtypes
+            buf_re = buf_re.astype(np.float32)
+            buf_im = buf_im.astype(np.float32)
         bs = self.cfg.block_size
         blocks = 0
         while len(buf_re) >= bs:

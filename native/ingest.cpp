@@ -156,6 +156,33 @@ int64_t ingest_read(void* h, float* out, int64_t n, int timeout_ms) {
   }
 }
 
+// Like ingest_read but deinterleaves into separate re/im planes — the
+// session's high-rate ingest contract (ReceiverSession.pump_planes ships
+// planes to the device; complex interleaved would need a host-side
+// deinterleave pass anyway, so do it in the copy-out).
+int64_t ingest_read_planes(void* h, float* re, float* im, int64_t n,
+                           int timeout_ms) {
+  auto* ig = static_cast<Ingest*>(h);
+  const auto deadline =
+      std::chrono::steady_clock::now() + std::chrono::milliseconds(timeout_ms);
+  for (;;) {
+    uint64_t head = ig->head.load(std::memory_order_acquire);
+    uint64_t tail = ig->tail.load(std::memory_order_relaxed);
+    int64_t avail = static_cast<int64_t>(head - tail);
+    if (avail >= n) {
+      for (int64_t i = 0; i < n; ++i) {
+        size_t slot = (tail + i) & ig->ring_mask;
+        re[i] = ig->ring[2 * slot];
+        im[i] = ig->ring[2 * slot + 1];
+      }
+      ig->tail.store(tail + n, std::memory_order_release);
+      return n;
+    }
+    if (std::chrono::steady_clock::now() >= deadline) return 0;
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+  }
+}
+
 int64_t ingest_available(void* h) {
   auto* ig = static_cast<Ingest*>(h);
   return static_cast<int64_t>(ig->head.load() - ig->tail.load());
