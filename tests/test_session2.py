@@ -164,3 +164,60 @@ def test_serve_dual_toggle(capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "rx2 gain" in err
+
+
+def test_session_concurrent_reconfig_stress():
+    """The session lock must keep the pump loop consistent while another
+    thread (serve's HTTP handlers) flips modes and probes mid-stream —
+    the reference's reconfigure-vs-process mutexes
+    (dsp/demodulator.cpp:109/166) exercised under real contention."""
+    import threading
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=60_000.0, audio_rate=48000.0)
+    sess = ReceiverSession(cfg, max_cached_programs=4)
+    sess.start()
+    x = tone(cfg.block_size, 61_000.0, cfg.input_rate, -20.0)
+    stop = threading.Event()
+    errors = []
+
+    def reconfigurer():
+        import random
+        rng = random.Random(7)
+        try:
+            while not stop.is_set():
+                r = rng.random()
+                if r < 0.35:
+                    sess.set_mode(rng.choice(["am", "usb", "fm"]))
+                elif r < 0.6:
+                    sess.set_probe(rng.choice(["p2", "p4"]),
+                                   view=rng.choice(["spectrum", "scope"]))
+                    sess.probe_frame()
+                elif r < 0.8:
+                    sess.set_probe(None)
+                else:
+                    sess.tune(60_000.0 + rng.uniform(-5e3, 5e3))
+        except Exception as e:           # pragma: no cover - failure path
+            errors.append(e)
+
+    t = threading.Thread(target=reconfigurer, daemon=True)
+    t.start()
+    try:
+        total = 0
+        for _ in range(60):
+            total += sess.pump(x)
+        sess.flush()
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors, errors
+    # mode switches change the block size (am re-blocks at 8192), so the
+    # block count varies — but dispatched == delivered and nothing crashed
+    assert total > 0
+    assert sess.metrics.blocks == total
+    assert np.isfinite(sess.metrics.smeter_ave_db)
+    # stream still alive and correct in whatever mode we ended in
+    sess.set_mode("usb")
+    sess.pump(x)
+    sess.flush()
+    assert sess.metrics.audio_samples_out > 0
