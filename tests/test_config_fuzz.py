@@ -85,3 +85,42 @@ def test_auto_front_end_resolution_boundaries():
         cfg = _random_cfg(rng)
         assert cfg.decimator_impl in ("fused", "cascade", "pallas")
         assert cfg.fastfir_impl in ("xla", "pallas")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_config_pallas_equivalence(seed):
+    """Randomized front-end equivalence: for any legal config, the Pallas
+    mixdec receiver (interpret mode) matches the fused XLA receiver —
+    catches kernel layout/tile/padding edge cases across random rates,
+    filter sizes, and block lengths (the fixed-tile bug class)."""
+    from dataclasses import replace
+
+    from cutesdr_tpu.pipeline.receiver import _mixdec_tile, mixdec_supported
+
+    rng = np.random.default_rng(seed + 2000)
+    cfg = _random_cfg(rng)
+    cfg = replace(cfg, agc_on=False, nb_on=False, stereo=False,
+                  frames_per_block=int(rng.integers(1, 3)))
+    if not (mixdec_supported(cfg.plan.decimation) and _mixdec_tile(cfg)):
+        pytest.skip(f"decimation {cfg.plan.decimation} not mixdec-legal")
+    # compare the FRONT-END taps (what the kernel computes) via probes —
+    # demod audio through the PLL modes amplifies rounding chaotically
+    cfg_p = replace(cfg, decimator_impl="pallas", pallas_interpret=True,
+                    probes=True)
+    cfg_f = replace(cfg, decimator_impl="fused", probes=True)
+
+    x = tone(cfg.block_size * 2, cfg.tune_freq + 400.0, cfg.input_rate,
+             -25.0)
+    x = x + (rng.standard_normal(len(x))
+             + 1j * rng.standard_normal(len(x))) * 20.0
+    rx_p, rx_f = Receiver(cfg_p), Receiver(cfg_f)
+    for b in np.split(x, 2):
+        out_p = rx_p.process(jnp.asarray(b, jnp.complex64))
+        out_f = rx_f.process(jnp.asarray(b, jnp.complex64))
+        for tap in ("p1_downconvert", "p2_fastfir"):
+            t_p = np.asarray(out_p.probes[tap])
+            t_f = np.asarray(out_f.probes[tap])
+            scale = max(np.abs(t_f).max(), 1e-3)
+            np.testing.assert_allclose(
+                t_p, t_f, atol=3e-4 * scale,
+                err_msg=f"{tap}: {cfg_p}")
