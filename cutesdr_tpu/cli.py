@@ -756,6 +756,27 @@ def cmd_serve(args) -> int:
         speaker = SoundCardSink(sess.audio_queue, 48000,
                                 device=args.audio_device).start()
     sess.start()
+    # compile before the stream starts so the first real block is instant
+    # and slow first-time compiles are visible instead of looking like a
+    # hang (remote-tunnel compiles can take minutes uncached; the
+    # persistent cache makes reruns ~1 s)
+    try:
+        rxv = getattr(sess, "receiver", None)
+        if rxv is not None and hasattr(rxv, "process_host"):
+            print("compiling pipeline (first run may take a while; "
+                  "cached afterwards)…", file=sys.stderr)
+            t0 = _time.time()
+            saved = rxv.state
+            saved_comb = getattr(rxv, "comb_state", None)
+            shape = ((2, cfg.block_size) if getattr(args, "dual", False)
+                     else cfg.block_size)
+            rxv.process_host(np.zeros(shape, np.complex64))
+            rxv.state = saved
+            if saved_comb is not None:
+                rxv.comb_state = saved_comb
+            print(f"compiled in {_time.time() - t0:.1f}s", file=sys.stderr)
+    except Exception as e:                    # warm-up is best-effort
+        print(f"note: warm-up compile skipped ({e!r})", file=sys.stderr)
     print(f"serving http://127.0.0.1:{srv.port}/  (Ctrl-C to stop)",
           file=sys.stderr)
     deadline = (_time.time() + args.seconds) if args.seconds > 0 else None

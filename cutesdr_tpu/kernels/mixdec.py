@@ -10,17 +10,21 @@ Mosaic layout strategy (TPU tiles are (8 sublanes, 128 lanes); arbitrary
 reshapes/unaligned slices are not lowerable):
 
   * the raw stream keeps its natural layout, viewed host-side as rows of
-    128 consecutive samples: Z[m, q] = z[128·m + q] — a free reshape;
+    ``lane`` consecutive samples (lane = 128 when the decimation divides
+    128; lane = D when D is a multiple of 128 — still 128-aligned, still
+    a free reshape): Z[m, q] = z[lane·m + q];
   * each grid step DMAs a row-aligned window (overlapping windows via
-    dynamic row offsets — BlockSpec windows cannot overlap),
+    dynamic row offsets — BlockSpec windows cannot overlap; the window is
+    rounded up to 8 rows, the Mosaic scratch-shape tile),
   * oscillator phases come from the exact uint32 DDS accumulator on a 2-D
     iota (tail samples sit before the block start; unsigned wraparound
     handles the negative offsets — see ops/nco.py),
-  * decimation-by-D outputs split by residue r = n mod R (R = 128/D):
+  * decimation-by-D outputs split by residue r = n mod R (R = lane/D; for
+    the wide-row form R = 1 and each row yields one output):
     y[R·n' + r] = Σ_c  Z[n'+c, :] · W4[:, R·c+r]  — ONE
-    [rows, 128] × [128, R·C] MXU matmul with a full 128-wide contraction,
-    then a C-band diagonal sum per residue, where
-    W4[q, R·c+r] = w[128·c + q − D·r] places the (flipped, zero-padded)
+    [rows, lane] × [lane, R·C] MXU matmul with a full lane-wide
+    contraction, then a C-band diagonal sum per residue, where
+    W4[q, R·c+r] = w[lane·c + q − D·r] places the (flipped, zero-padded)
     composed taps per residue;
   * the output block is [2R, TO4] (re residues stacked over im residues),
     satisfying the (8, 128) tiling rule; the host interleaves residues back
