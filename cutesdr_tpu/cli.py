@@ -541,6 +541,11 @@ def cmd_record(args) -> int:
 
     args.mode = getattr(args, "mode", "usb")
     _apply_radio_rate(args)
+    dual = bool(getattr(args, "dual", False))
+    if dual and args.pre_trigger_ms > 0:
+        raise SystemExit("--dual recording does not support --pre-trigger-ms")
+    if dual and args.legacy:
+        raise SystemExit("--dual recording needs SigMF (drop --legacy)")
     block = 65536
     source = _make_source(args, block)
     target = int(args.seconds * args.fs)
@@ -566,6 +571,7 @@ def cmd_record(args) -> int:
             return RawIQWriter(args.out, args.fmt)
         return SigMFWriter(args.out, "cf32" if args.fmt == "npy" else args.fmt,
                            sample_rate=args.fs, center_freq=f0,
+                           num_channels=2 if dual else 1,
                            description=f"cutesdr-tpu record --source={args.source}")
 
     n_total = 0
@@ -597,8 +603,10 @@ def cmd_record(args) -> int:
             iq = source()
             if iq is None:
                 break
+            if isinstance(iq, tuple):          # native plane sources
+                iq = iq[0] + 1j * iq[1]
             w.write(iq)
-            n_total += len(iq)
+            n_total += iq.shape[-1]
         w.close()
 
     if hasattr(source, "close"):

@@ -24,10 +24,15 @@ class FileSource:
                  ±32k range like the reference's UDP path)
       'cf32'   — interleaved float32 I,Q
       'npy'    — complex .npy array
+
+    ``channels=2`` reads channel-interleaved multichannel captures (the
+    SigMF convention: per sample instant, one I/Q pair per channel) and
+    yields [channels, n] stacks — dual-RX capture playback.
     """
     path: str
     fmt: str = "int16"
     loop: bool = False
+    channels: int = 1
 
     def __post_init__(self):
         if self.fmt == "npy":
@@ -40,8 +45,17 @@ class FileSource:
         return {"int16": 4, "int24": 6, "cf32": 8}[self.fmt]
 
     def next_block(self, n: int) -> np.ndarray | None:
-        """Return exactly n complex64 samples, or None at end of stream
-        (non-looping).  Short final reads are zero-padded."""
+        """Return exactly n complex64 samples ([channels, n] for
+        multichannel captures), or None at end of stream (non-looping).
+        Short final reads are zero-padded."""
+        if self.channels > 1:
+            flat = self._next_flat(n * self.channels)
+            if flat is None:
+                return None
+            return flat.reshape(-1, self.channels).T.copy()
+        return self._next_flat(n)
+
+    def _next_flat(self, n: int) -> np.ndarray | None:
         if self.fmt == "npy":
             if self._pos >= len(self._data):
                 if not self.loop:

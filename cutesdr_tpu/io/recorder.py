@@ -64,7 +64,7 @@ class SigMFWriter:
 
     def __init__(self, base_path: str, fmt: str = "int16",
                  sample_rate: float = 2e6, center_freq: float = 0.0,
-                 description: str = ""):
+                 description: str = "", num_channels: int = 1):
         if fmt not in _SIGMF_DTYPE:
             raise ValueError(f"unsupported SigMF format {fmt!r}")
         base = base_path
@@ -76,6 +76,7 @@ class SigMFWriter:
         self.sample_rate = sample_rate
         self.center_freq = center_freq
         self.description = description
+        self.num_channels = int(num_channels)
         self.samples = 0
         self._annotations: list[dict] = []
         self._start_iso = _utc_now()
@@ -90,7 +91,16 @@ class SigMFWriter:
         return self.base + ".sigmf-meta"
 
     def write(self, iq: np.ndarray) -> None:
+        """Append samples: [n] complex, or [num_channels, n] stacks for
+        multichannel captures (channel-interleaved per the SigMF
+        convention)."""
         iq = np.asarray(iq)
+        n_frames = iq.shape[-1]
+        if iq.ndim == 2:
+            if iq.shape[0] != self.num_channels:
+                raise ValueError(f"stack has {iq.shape[0]} channels, "
+                                 f"writer configured for {self.num_channels}")
+            iq = iq.T.reshape(-1)          # s0ch0, s0ch1, s1ch0, ...
         if self.fmt == "int16":
             a = np.empty((len(iq), 2), "<i2")
             a[:, 0] = np.clip(np.real(iq), -32767, 32767)
@@ -99,7 +109,7 @@ class SigMFWriter:
             a = np.empty((len(iq), 2), "<f4")
             a[:, 0], a[:, 1] = np.real(iq), np.imag(iq)
         self._fh.write(a.tobytes())
-        self.samples += len(iq)
+        self.samples += n_frames
 
     def annotate(self, sample_start: int, sample_count: int,
                  label: str = "", **fields) -> None:
@@ -115,6 +125,8 @@ class SigMFWriter:
         self._fh.close()
         meta = sigmf_metadata(self.fmt, self.sample_rate, self.center_freq,
                               self.description, self._start_iso)
+        if self.num_channels > 1:
+            meta["global"]["core:num_channels"] = self.num_channels
         meta["annotations"] = list(self._annotations)
         with open(self.meta_path, "w") as f:
             json.dump(meta, f, indent=2)
@@ -226,4 +238,5 @@ def open_sigmf(path: str, loop: bool = False):
     fmt = {v: k for k, v in _SIGMF_DTYPE.items()}.get(dtype)
     if fmt is None:
         raise ValueError(f"unsupported SigMF datatype {dtype!r}")
-    return FileSource(base + ".sigmf-data", fmt, loop), meta
+    nch = int(meta["global"].get("core:num_channels", 1))
+    return FileSource(base + ".sigmf-data", fmt, loop, channels=nch), meta

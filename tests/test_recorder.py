@@ -181,3 +181,41 @@ def test_cli_record_pre_trigger(tmp_path):
     first_loud = int(np.argmax(np.abs(data) > 5000))
     assert 0 < first_loud <= 80_000  # inside the pre-trigger window
     assert np.max(np.abs(data[first_loud:first_loud + 1000])) > 15000
+
+
+def test_dual_channel_sigmf_record_playback_roundtrip(tmp_path):
+    """`record --dual` writes a channel-interleaved 2-channel SigMF
+    capture (core:num_channels=2); `run --dual --source file:...` replays
+    it through the MRC diversity chain and recovers the tone — the
+    offline half of the dual-RX story."""
+    import json as _json
+    import wave
+
+    import numpy as np
+
+    from cutesdr_tpu import cli
+
+    base = str(tmp_path / "dualcap")
+    rc = cli.main(["record", "--dual",
+                   "--source", "dualtone:101000:40:0.8",
+                   "--fs", "500000", "--freq", "100000",
+                   "--seconds", "0.4", "--out", base])
+    assert rc == 0
+    meta = _json.load(open(base + ".sigmf-meta"))
+    assert meta["global"]["core:num_channels"] == 2
+    n_frames = meta and (len(open(base + ".sigmf-data", "rb").read())
+                         // (2 * 2 * 2))   # int16 I/Q x 2 channels
+    assert n_frames >= 0.4 * 500_000
+
+    out = str(tmp_path / "dual_playback.wav")
+    rc = cli.main(["run", "--dual", "--source", f"file:{base}.sigmf-data",
+                   "--fs", "500000", "--mode", "usb", "--freq", "100000",
+                   "--seconds", "0.35", "--out", out])
+    assert rc == 0
+    with wave.open(out) as w:
+        audio = np.frombuffer(w.readframes(w.getnframes()),
+                              np.int16).astype(np.float64)
+    a = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.fft.rfftfreq(len(a), 1 / 48000.0)[int(np.argmax(spec))]
+    assert abs(f_pk - 1000.0) < 50.0, f_pk
