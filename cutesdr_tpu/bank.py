@@ -66,6 +66,9 @@ class BankSession:
                                        -120.0, np.float32)
         self._pending = np.zeros(0, np.complex64)
         self._inflight: list = []
+        self._probe_tap: Optional[str] = None
+        self._probe_view = "spectrum"
+        self._probe_inst = None
         self.running = False
 
     # ------------------------------------------------------------- data ---
@@ -79,6 +82,16 @@ class BankSession:
 
     def _finish(self, out, bs: int) -> None:
         """Materialize one dispatched bank step (device->host) and deliver."""
+        if self._probe_tap is not None and out.probes is not None:
+            leaf = out.probes.get(self._probe_tap)
+            if leaf is not None:
+                arr = np.asarray(leaf)[self.monitor]   # leading channel axis
+                if arr.ndim == 2 and arr.shape[-1] == 2:
+                    arr = arr[..., 0] + 1j * arr[..., 1]
+                if self._probe_view == "scope":
+                    self._probe_inst.feed(np.real(arr))
+                else:
+                    self._probe_inst.feed(arr)
         self.smeter_db = np.asarray(out.smeter_ave_db)
         self.smeter_peak_db = np.asarray(out.smeter_peak_db)
         all_audio = np.asarray(out.audio)
@@ -173,6 +186,81 @@ class BankSession:
                  "spec": [round(float(v), 1)
                           for v in self.channel_spectra[i]]}
                 for i, f in enumerate(self.tune_freqs)]
+
+    # ----------------------------------------------------- probe scope ----
+    def set_probe(self, tap: Optional[str], view: str = "spectrum",
+                  trigger_mode: str = "free", trigger_level: float = 0.0,
+                  length: int = 1024) -> Optional[str]:
+        """Probe scope for the MONITOR channel's taps.  Enabling rebuilds
+        the bank with probes on (bank carries restart — a bounded fill-in
+        transient, acceptable for a debug instrument; unlike the single
+        session there is no per-config migration cache for N-channel
+        state).  Returns the applied tap (None = off)."""
+        from dataclasses import replace
+
+        from cutesdr_tpu.testbench.probes import (ProbeSpectrum,
+                                                  TriggeredCapture,
+                                                  TriggerMode)
+        short = {"p1": "p1_downconvert", "p2": "p2_fastfir", "p3": "p3_agc",
+                 "p4": "p4_demod", "p5": "p5_resampled", "p7": "p7_blanker"}
+        tap = short.get(tap, tap)
+        if tap in (None, "", "off"):
+            if self.cfg.probes:
+                self.flush()
+                self.cfg = replace(self.cfg, probes=False)
+                self.bank = ChannelBank(self.cfg, self.tune_freqs)
+            self._probe_tap = self._probe_inst = None
+            return None
+        valid = ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod",
+                 "p5_resampled", "p7_blanker")
+        if tap not in valid:
+            raise ValueError(f"unknown probe tap {tap!r}")
+        if tap == "p7_blanker" and not self.cfg.nb_on:
+            raise ValueError("p7 requires the noise blanker (nb_on)")
+        if tap == "p5_resampled" and self.cfg.audio_rate is None:
+            raise ValueError("p5 requires the 48 kHz resampler (audio_rate)")
+        if not self.cfg.probes:
+            self.flush()
+            self.cfg = replace(self.cfg, probes=True)
+            self.bank = ChannelBank(self.cfg, self.tune_freqs)
+        self._probe_tap = tap
+        self._probe_view = view
+        if view == "scope":
+            mode = {"free": TriggerMode.FREE_RUN,
+                    "pos": TriggerMode.NORM_POS,
+                    "neg": TriggerMode.NORM_NEG,
+                    "single+": TriggerMode.SINGLE_POS,
+                    "single-": TriggerMode.SINGLE_NEG}[trigger_mode]
+            self._probe_inst = TriggeredCapture(
+                length=length, pre_samples=length // 4,
+                level=trigger_level,
+                hysteresis=max(1.0, abs(trigger_level) * 0.05), mode=mode)
+        else:
+            self._probe_inst = ProbeSpectrum(self._tap_rate(tap))
+        return tap
+
+    def _tap_rate(self, key: str) -> float:
+        c = self.cfg
+        if key == "p7_blanker":
+            return c.input_rate
+        if key == "p5_resampled":
+            return c.audio_rate or c.output_rate
+        return c.output_rate
+
+    def probe_frame(self) -> Optional[dict]:
+        """Latest monitor-channel probe frame for the server (or None)."""
+        if self._probe_tap is None or self._probe_inst is None:
+            return None
+        base = {"tap": self._probe_tap, "view": self._probe_view,
+                "channel": self.monitor,
+                "sample_rate": self._tap_rate(self._probe_tap)}
+        if self._probe_view == "scope":
+            rec = self._probe_inst.record
+            if rec is None:
+                return {**base, "record": None}
+            return {**base, "record": [round(float(v), 2) for v in rec]}
+        return {**base, "db": [round(float(v), 1)
+                               for v in self._probe_inst.spectrum_db()]}
 
     def status_line(self) -> str:
         return (f"{self.n_channels} ch | monitor {self.monitor} | "

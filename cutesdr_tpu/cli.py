@@ -682,7 +682,8 @@ def cmd_serve(args) -> int:
 
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
-                             on_select=on_select).start()
+                             on_select=on_select,
+                             on_probe=sess.set_probe).start()
         srv.set_view(tune_hz=freqs[0], low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      click_res=sess.settings.demod[cfg.mode]
@@ -690,7 +691,8 @@ def cmd_serve(args) -> int:
         sess.on_spectrum = lambda db: srv.update(
             db, smeter_db=float(sess.smeter_db[sess.monitor]),
             channels=sess.channel_info(),
-            overload=sess.analyzer.overload)
+            overload=sess.analyzer.overload,
+            probe=sess.probe_frame())
     elif getattr(args, "dual", False):
         # dual-RX toggle: MRC-combined diversity session; display shows
         # channel 1's raw spectrum, audio is the combined stream, status

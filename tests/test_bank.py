@@ -123,3 +123,34 @@ def test_cli_serve_channels_smoke(tmp_path):
                "--mode", "usb", "--channels", "98000,398000",
                "--seconds", "0.2", "--port", "0"])
     assert rc == 0
+
+
+def test_bank_probe_scope_monitor_channel():
+    """BankSession probe scope: the monitor channel's tap renders as a
+    spectrum (tone channel shows its +1 kHz audio-passband peak; switching
+    the monitor switches whose tap is captured)."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.bank import BankSession
+    from cutesdr_tpu.testbench.generators import tone
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         audio_rate=48000.0)
+    sess = BankSession(cfg, [30_000.0, 61_000.0], monitor=1)
+    sess.start()
+    assert sess.set_probe("p2") == "p2_fastfir"
+    x = tone(cfg.block_size * 4, 62_000.0, cfg.input_rate, -20.0)
+    for b in np.split(x, 4):
+        sess.pump(b)
+    sess.flush()
+    p = sess.probe_frame()
+    assert p["channel"] == 1 and p["view"] == "spectrum"
+    db = np.asarray(p["db"])
+    pk = (np.argmax(db) - len(db) // 2) * p["sample_rate"] / len(db)
+    assert abs(pk - 1000.0) < 100.0, pk
+
+    # off rebuilds without probes
+    assert sess.set_probe(None) is None
+    assert not sess.cfg.probes
+    sess.pump(x[:cfg.block_size])
+    sess.flush()
+    assert sess.probe_frame() is None
