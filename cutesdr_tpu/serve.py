@@ -193,7 +193,7 @@ function drawProbe(p){
   pctx.fillStyle='#181818'; pctx.fillRect(0,0,W,H);
   pctx.strokeStyle='#6f6'; pctx.beginPath();
   if (p.view === 'scope'){
-    bar.textContent = `probe ${p.tap} — time (fs=${p.sample_rate} Hz)`;
+    bar.textContent = `probe ${p.tap}${p.channel!=null?` (ch ${p.channel})`:''} — time (fs=${p.sample_rate} Hz)`;
     const rec = p.record;
     if (!rec) { pctx.fillStyle='#888'; pctx.fillText('armed…', 8, 16); return; }
     let m = 1; for (const v of rec) m = Math.max(m, Math.abs(v));
@@ -203,7 +203,7 @@ function drawProbe(p){
       if (x===0) pctx.moveTo(x,y); else pctx.lineTo(x,y);
     }
   } else {
-    bar.textContent = `probe ${p.tap} — spectrum (fs=${p.sample_rate} Hz)`;
+    bar.textContent = `probe ${p.tap}${p.channel!=null?` (ch ${p.channel})`:''} — spectrum (fs=${p.sample_rate} Hz)`;
     const db = p.db;
     for (let x=0; x<W; x++){
       const v = db[Math.floor(x*db.length/W)];
