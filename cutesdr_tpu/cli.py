@@ -785,6 +785,16 @@ def cmd_serve(args) -> int:
             if saved_comb is not None:
                 rxv.comb_state = saved_comb
             print(f"compiled in {_time.time() - t0:.1f}s", file=sys.stderr)
+            if hasattr(sess, "precompile") and not args.no_precompile:
+                # compile every demod mode up front so the web UI's mode
+                # switch is glitch-free instead of blocking the stream on
+                # a first-visit compile (the reference's per-mode demod
+                # objects always exist, dsp/demodulator.cpp:107-157)
+                t0 = _time.time()
+                sess.precompile(["am", "sam", "fm", "usb", "lsb",
+                                 "cwu", "cwl"])
+                print(f"precompiled all modes in {_time.time() - t0:.1f}s "
+                      "(--no-precompile to skip)", file=sys.stderr)
     except Exception as e:                    # warm-up is best-effort
         print(f"note: warm-up compile skipped ({e!r})", file=sys.stderr)
     print(f"serving http://127.0.0.1:{srv.port}/  (Ctrl-C to stop)",
@@ -931,6 +941,10 @@ def main(argv=None) -> int:
                             "learned spur cal (the QSettings workflow)")
     p_srv.add_argument("--realtime", action="store_true",
                        help="pace generator sources to wall-clock")
+    p_srv.add_argument("--no-precompile", action="store_true",
+                       help="skip compiling every demod mode at startup "
+                            "(faster start; first mode switch then pays "
+                            "its compile while the stream waits)")
     p_srv.add_argument("--channels", default="",
                        help="comma-separated tune freqs -> channel-bank "
                             "mode (N demodulators, per-channel S-meters, "

@@ -383,11 +383,27 @@ class ReceiverSession:
             self.receiver.set_resample_ratio(
                 self._nominal_ratio * (1.0 + self._last_correction))
 
+    def _prebuild(self, cfg: ReceiverConfig) -> None:
+        """Compile a config's program WITHOUT holding the session lock, so
+        the stream keeps flowing during a (possibly minutes-long remote)
+        compile; the subsequent locked switch is then a cache hit.  Safe
+        to race: duplicate builds just overwrite each other."""
+        key = self._cfg_key(cfg)
+        if key in self._receivers:
+            return
+        rx = Receiver(cfg)
+        saved = rx.state
+        rx.process_host(np.zeros(cfg.block_size, np.complex64))
+        rx.state = saved
+        with self._lock:                 # only the insert; not the compile
+            self._receivers[key] = rx
+
     def set_mode(self, mode: str) -> None:
         """Live demod-mode change: applies the persisted per-mode settings
         (the m_DemodSettings[] array) and switches programs without
-        dropping stream samples.  Precompiled modes switch glitch-free;
-        a first visit compiles (cache it ahead with precompile())."""
+        dropping stream samples.  An uncached mode compiles OUTSIDE the
+        session lock first (the stream keeps running), then switches as a
+        cache hit; precompile() at startup makes even that wait go away."""
         from dataclasses import replace
         d = self.settings.demod[mode]
         new_cfg = replace(
@@ -396,6 +412,7 @@ class ReceiverSession:
             agc_on=d.agc_on, agc_hang=d.agc_hang_on,
             agc_thresh_db=d.agc_thresh, agc_manual_gain_db=d.agc_manual_gain,
             agc_slope=d.agc_slope, agc_decay_ms=d.agc_decay)
+        self._prebuild(new_cfg)
         self._switch_to(new_cfg)
         self.settings.demod_mode = mode
 
@@ -452,7 +469,14 @@ class ReceiverSession:
         named taps rendered as an averaged spectrum or a (level-triggered)
         time capture.  Enabling a tap switches to the probes-enabled
         compiled program glitch-free (stream state migrates); ``None``
-        switches back.  Returns the applied tap (None = off)."""
+        switches back.  Returns the applied tap (None = off).
+
+        A first-time probes-program compile runs OUTSIDE the session lock
+        (the stream keeps flowing); only the state migration holds it."""
+        from dataclasses import replace
+        want_probes = tap not in (None, "", "off")
+        if want_probes != self.cfg.probes:
+            self._prebuild(replace(self.cfg, probes=want_probes))
         with self._lock:
             return self._set_probe_locked(tap, view, trigger_mode,
                                           trigger_level, length)

@@ -119,7 +119,7 @@ def test_bank_serve_roundtrip():
 def test_cli_serve_channels_smoke(tmp_path):
     from cutesdr_tpu.cli import main
 
-    rc = main(["serve", "--source", "tone:100000", "--fs", "2000000",
+    rc = main(["serve", "--no-precompile", "--source", "tone:100000", "--fs", "2000000",
                "--mode", "usb", "--channels", "98000,398000",
                "--seconds", "0.2", "--port", "0"])
     assert rc == 0

@@ -79,7 +79,7 @@ def test_serve_settings_roundtrip(tmp_path):
     st.demod["usb"].hi_cut = 2500.0
     st.save(path)
 
-    rc = cli.main(["serve", "--source", "tone:100000", "--fs", "2000000",
+    rc = cli.main(["serve", "--no-precompile", "--source", "tone:100000", "--fs", "2000000",
                    "--mode", "usb", "--freq", "100000",
                    "--seconds", "0.2", "--port", "0",
                    "--settings", str(path)])
