@@ -89,9 +89,19 @@ STIMULI = {
 
 CW_OFFSET = {"cwu": 600.0}
 
+# extra fixtures beyond the per-mode set: (name, mode, input_rate, tune,
+# stimulus) — usb2m pins the flagship 2 MSPS ×32-decimation plan
+EXTRA = [
+    ("usb2m", "usb", 2_000_000.0, 480_000.0,
+     dict(sweep_start_hz=480_500.0, sweep_stop_hz=482_500.0,
+          sweep_rate_hz_per_sec=8000.0, signal_power_db=-30.0,
+          noise_power_db=-70.0)),
+]
 
-def mode_cfg(mode: str) -> ReceiverConfig:
-    return ReceiverConfig(input_rate=FS, mode=mode, tune_freq=TUNE,
+
+def mode_cfg(mode: str, fs: float = FS,
+             tune: float = TUNE) -> ReceiverConfig:
+    return ReceiverConfig(input_rate=fs, mode=mode, tune_freq=tune,
                           cw_offset=CW_OFFSET.get(mode, 0.0),
                           audio_rate=None, agc_on=True, agc_thresh_db=-90.0)
 
@@ -169,18 +179,22 @@ def snr_db(want, got, skip):
 
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
-    for mode, stim in STIMULI.items():
-        cfg = mode_cfg(mode)
+    jobs = ([(mode, mode, FS, TUNE, stim)
+             for mode, stim in STIMULI.items()]
+            + [(name, mode, fs, tune, stim)
+               for name, mode, fs, tune, stim in EXTRA])
+    for name, mode, fs, tune, stim in jobs:
+        cfg = mode_cfg(mode, fs, tune)
         n_blocks = N_BLOCKS_BY_MODE.get(mode, N_BLOCKS)
         n = cfg.block_size * n_blocks
         if mode == "sam":
-            t = np.arange(n) / FS
+            t = np.arange(n) / fs
             amp = 32767.0 * 10.0 ** (stim["signal_power_db"] / 20.0)
             env = 1.0 + stim["mod_depth"] * np.cos(2 * np.pi * stim["mod_hz"] * t)
             x = (amp * env * np.exp(2j * np.pi
-                                    * (TUNE + stim["carrier_offset_hz"]) * t))
+                                    * (tune + stim["carrier_offset_hz"]) * t))
         else:
-            gen = SignalGenerator(GenConfig(sample_rate=FS, **stim))
+            gen = SignalGenerator(GenConfig(sample_rate=fs, **stim))
             x = gen.next_block(n)
         want = oracle_chain(cfg, x)
         got = production_audio(cfg, x, n_blocks)
@@ -191,19 +205,19 @@ def main():
         snr = snr_db(want, got.astype(np.float64), skip)
         # pin measured-minus-margin: an op-level regression moves this
         min_snr = float(np.floor(snr - 8.0))
-        meta = dict(mode=mode, input_rate=FS, tune_freq=TUNE,
+        meta = dict(mode=mode, input_rate=fs, tune_freq=tune,
                     cw_offset=CW_OFFSET.get(mode, 0.0), stimulus=stim,
                     n_blocks=n_blocks, skip=skip,
                     measured_snr_db=round(float(snr), 1),
                     min_snr_db=min_snr)
-        path = os.path.join(FIXDIR, f"golden_{mode}.npz")
+        path = os.path.join(FIXDIR, f"golden_{name}.npz")
         np.savez_compressed(
             path,
             iq_re=np.real(x).astype(np.float32),
             iq_im=np.imag(x).astype(np.float32),
             audio=want.astype(np.float64),
             meta=json.dumps(meta))
-        print(f"{mode}: block={cfg.block_size} out_fs={cfg.output_rate:.0f} "
+        print(f"{name}: block={cfg.block_size} out_fs={cfg.output_rate:.0f} "
               f"snr={snr:.1f} dB (pinned >= {min_snr:.0f})  -> {path}")
 
 

@@ -20,13 +20,15 @@ import pytest
 from cutesdr_tpu.pipeline.receiver import Receiver, ReceiverConfig
 
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
-MODES = ("usb", "lsb", "cwu", "am", "sam", "fm")
+# per-mode fixtures + usb2m (the flagship 2 MSPS ×32-decimation plan)
+NAMES = ("usb", "lsb", "cwu", "am", "sam", "fm", "usb2m")
 
 
-@pytest.mark.parametrize("mode", MODES)
-def test_golden_audio_parity(mode):
-    d = np.load(os.path.join(FIXDIR, f"golden_{mode}.npz"))
+@pytest.mark.parametrize("name", NAMES)
+def test_golden_audio_parity(name):
+    d = np.load(os.path.join(FIXDIR, f"golden_{name}.npz"))
     meta = json.loads(str(d["meta"]))
+    mode = meta["mode"]
     cfg = ReceiverConfig(input_rate=meta["input_rate"], mode=mode,
                          tune_freq=meta["tune_freq"],
                          cw_offset=meta["cw_offset"],
