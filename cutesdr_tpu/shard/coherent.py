@@ -68,6 +68,40 @@ def process(params: CombinerParams, carry: CombinerCarry,
     return CombinerCarry(gain=g), y
 
 
+class ArrayCombinerCarry(NamedTuple):
+    gains: jax.Array              # [M] smoothed complex gains (gains[0]=1)
+
+
+def array_init(n_branches: int, smoothing_blocks: float = 8.0,
+               rdtype=jnp.float32):
+    """M-branch MRC combiner (antenna arrays / StackedReceiver streams):
+    branch i's channel gain g_i is estimated against branch 0 and the
+    combine is  y = Σ conj(g_i)·x_i / sqrt(Σ|g_i|²)  — the 2-branch
+    ``process`` generalized; identical math at M=2."""
+    params = CombinerParams(
+        alpha=jnp.asarray(1.0 / max(1.0, smoothing_blocks), rdtype),
+        manual=jnp.asarray(False),
+        fixed_gain=jax.lax.complex(jnp.ones((), rdtype),
+                                   jnp.zeros((), rdtype)))
+    gains = jax.lax.complex(
+        jnp.ones((n_branches,), rdtype), jnp.zeros((n_branches,), rdtype))
+    return params, ArrayCombinerCarry(gains=gains)
+
+
+def array_process(params: CombinerParams, carry: ArrayCombinerCarry,
+                  x: jax.Array) -> tuple[ArrayCombinerCarry, jax.Array]:
+    """x: [M, N] coherent complex streams -> MRC-combined [N]."""
+    x0 = x[0]
+    p0 = jnp.sum(jnp.abs(x0) ** 2) + jnp.asarray(1e-12, jnp.real(x).dtype)
+    g_block = jnp.sum(x * jnp.conj(x0)[None, :], axis=-1) / p0   # [M]
+    g = (1.0 - params.alpha) * carry.gains + params.alpha * g_block
+    g = g.at[0].set(jnp.asarray(1.0 + 0.0j, g.dtype))   # reference branch
+    norm = jnp.sqrt(jnp.sum(jnp.abs(g) ** 2))
+    y = jnp.sum(jnp.conj(g)[:, None] * x, axis=0) / norm.astype(
+        jnp.real(x).dtype)
+    return ArrayCombinerCarry(gains=g), y
+
+
 @dataclass
 class DiversityReceiver:
     """Two coherent IQ streams -> MRC combine -> one receiver chain.
