@@ -259,22 +259,36 @@ class StepOutput(NamedTuple):
 
 
 def _mixdec_tile(cfg: ReceiverConfig) -> int:
-    """Largest legal mixdec output tile for this block size: a multiple of
-    R = 128/decimation that divides the decimated block length, capped at
-    512 (the kernel's sweet spot).  0 = no legal tile (low-latency blocks
-    shorter than one lane row)."""
+    """Largest legal mixdec output tile for this block size.
+
+    Mosaic requires output-block columns (TO4 = tile/R) to be a multiple
+    of 128 OR to span the whole array (a single tile per block).  Prefer
+    TO4 = 128·j up to 512 columns; otherwise fall back to one tile
+    covering the block if its DMA window fits a VMEM budget.  0 = no
+    legal tile."""
     D = cfg.plan.decimation
     if not mixdec_supported(D):
         return 0
-    R = 128 // D if 128 % D == 0 else 1
+    lane = 128 if 128 % D == 0 else D
+    R = lane // D
     out_per_block = cfg.block_size // D
-    best = 0
-    k = R
-    while k <= min(512, out_per_block):
-        if out_per_block % k == 0:
-            best = k
-        k += R
-    return best
+    if out_per_block <= 0 or out_per_block % R:
+        return 0
+    to4_total = out_per_block // R
+    # measured sweet spots: 128 columns for the lane-128 residue form
+    # (the 11.5 GSPS kernel measurement's config), 512 for the wide-row
+    # form; fall back to any other legal 128-multiple
+    prefer = 128 if lane == 128 else 512
+    legal = [j for j in range(128, min(512, to4_total) + 1, 128)
+             if to4_total % j == 0]
+    if legal:
+        best = prefer if prefer in legal else legal[-1]
+        return best * R
+    # single tile == whole array: always tile-legal; bound the VMEM window
+    # (re+im planes of ~ (TO4+C) x lane f32)
+    if to4_total * lane * 4 * 2 <= 8_000_000:
+        return to4_total * R
+    return 0
 
 
 def _make_mixdec(cfg: ReceiverConfig):

@@ -29,6 +29,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class CombinerParams(NamedTuple):
@@ -95,7 +96,11 @@ def array_process(params: CombinerParams, carry: ArrayCombinerCarry,
     p0 = jnp.sum(jnp.abs(x0) ** 2) + jnp.asarray(1e-12, jnp.real(x).dtype)
     g_block = jnp.sum(x * jnp.conj(x0)[None, :], axis=-1) / p0   # [M]
     g = (1.0 - params.alpha) * carry.gains + params.alpha * g_block
-    g = g.at[0].set(jnp.asarray(1.0 + 0.0j, g.dtype))   # reference branch
+    rd = jnp.real(x).dtype
+    # reference branch pinned to 1+0j — formed via lax.complex of real
+    # scalars (a host complex constant embedded in the program wedges the
+    # axon tunnel, types.py / CLAUDE.md)
+    g = g.at[0].set(jax.lax.complex(jnp.ones((), rd), jnp.zeros((), rd)))
     norm = jnp.sqrt(jnp.sum(jnp.abs(g) ** 2))
     y = jnp.sum(jnp.conj(g)[:, None] * x, axis=0) / norm.astype(
         jnp.real(x).dtype)
@@ -104,26 +109,36 @@ def array_process(params: CombinerParams, carry: ArrayCombinerCarry,
 
 @dataclass
 class DiversityReceiver:
-    """Two coherent IQ streams -> MRC combine -> one receiver chain.
+    """N coherent IQ streams -> MRC combine -> one receiver chain.
 
-    ``process(iq_stack [2, block_size])`` returns the usual StepOutput plus
-    the current gain estimate via ``last_gain``.
+    ``process(iq_stack [n_branches, block_size])`` returns the usual
+    StepOutput plus the current gain estimate via ``last_gain`` /
+    ``last_gains``.  n_branches=2 is the dual-RX radio case
+    (CHAN_SETUP_DUAL_*); larger N serves antenna arrays fed through
+    StackedReceiver-style per-element streams.
     """
     cfg: Any                      # ReceiverConfig
     smoothing_blocks: float = 8.0
     rdtype: Any = jnp.float32
+    n_branches: int = 2
 
     def __post_init__(self):
         from cutesdr_tpu.pipeline import receiver as rx
 
         self._rx = rx
         self.params, self.state = rx.init(self.cfg, self.rdtype)
-        self.comb_params, self.comb_state = init(self.smoothing_blocks,
-                                                 self.rdtype)
+        if self.n_branches == 2:
+            self.comb_params, self.comb_state = init(self.smoothing_blocks,
+                                                     self.rdtype)
+            combine = process
+        else:
+            self.comb_params, self.comb_state = array_init(
+                self.n_branches, self.smoothing_blocks, self.rdtype)
+            combine = array_process
         cfg = self.cfg
 
         def step(p, cp, s, cs, x):
-            cs, y = process(cp, cs, x)
+            cs, y = combine(cp, cs, x)
             s, out = rx.receiver_step(cfg, p, s, y)
             return s, cs, out
 
@@ -174,11 +189,26 @@ class DiversityReceiver:
     def last_gain(self) -> complex:
         # pull re/im planes separately: complex scalars must not cross the
         # device->host boundary on the axon tunnel (CLAUDE.md)
+        if self.n_branches != 2:
+            return self.last_gains[1]
         g = self.comb_state.gain
         return complex(float(jnp.real(g)), float(jnp.imag(g)))
 
+    @property
+    def last_gains(self) -> list:
+        """Per-branch gain estimates (n_branches > 2; gains[0] = 1)."""
+        if self.n_branches == 2:
+            return [1.0 + 0.0j, self.last_gain]
+        g = self.comb_state.gains
+        re = np.asarray(jnp.real(g))
+        im = np.asarray(jnp.imag(g))
+        return [complex(a, b) for a, b in zip(re, im)]
+
     def set_steering(self, gain: complex | None) -> None:
-        """Fix the combining gain (None returns to automatic MRC)."""
+        """Fix the combining gain (None returns to automatic MRC).
+        Pairwise (n_branches=2) only — array mode always tracks."""
+        if self.n_branches != 2:
+            raise ValueError("manual steering is pairwise-only")
         if gain is None:
             self.comb_params = self.comb_params._replace(
                 manual=jnp.asarray(False))

@@ -163,3 +163,32 @@ def test_array_combiner_generalizes_mrc():
     c2, y2 = coherent.array_process(p2, c2, jnp.asarray(x[:2], jnp.complex64))
     cp, yp = coherent.process(pp, cp, jnp.asarray(x[:2], jnp.complex64))
     np.testing.assert_allclose(np.asarray(y2), np.asarray(yp), atol=1e-2)
+
+
+def test_diversity_receiver_n_branches():
+    """DiversityReceiver with n_branches=4: combines four coherent
+    streams, tracks all branch gains, demodulates the tone."""
+    import jax.numpy as jnp
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+    from cutesdr_tpu.shard.coherent import DiversityReceiver
+    from cutesdr_tpu.testbench.generators import tone
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=60_000.0, audio_rate=None,
+                         agc_on=False)
+    drx = DiversityReceiver(cfg, smoothing_blocks=1.0, n_branches=4)
+    gains = np.array([1.0, 0.9 * np.exp(1j * 0.5), 0.6 * np.exp(-1j * 1.0),
+                      0.3 * np.exp(1j * 2.0)])
+    x0 = tone(cfg.block_size * 3, 61_000.0, cfg.input_rate, -20.0)
+    audio = []
+    for b in np.split(x0, 3):
+        stack = (gains[:, None] * b[None, :]).astype(np.complex64)
+        out = drx.process(jnp.asarray(stack))
+        audio.append(np.asarray(out.audio))
+    g = np.asarray(drx.last_gains)
+    np.testing.assert_allclose(np.abs(g), np.abs(gains), atol=0.05)
+    a = np.concatenate(audio)[2048:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f_pk = np.fft.rfftfreq(len(a), 1 / cfg.output_rate)[int(np.argmax(spec))]
+    assert abs(f_pk - 1000.0) < 80.0, f_pk
