@@ -54,6 +54,23 @@ def locked_loop_kernel(alpha: float, beta: float, tol: float = 1e-12,
     return K
 
 
+def _conv_causal(u: jax.Array, k: jax.Array, n: int) -> jax.Array:
+    """First n samples of the full 1-D convolution u*k.
+
+    Long kernels take the FFT form: XLA:TPU compile time for direct
+    mid-size 1-D convolutions is pathological (measured r3: SAM's ~1900-tap
+    locked-loop kernel pushed a single demod compile past 260 s; the FFT
+    form compiles in seconds and is numerically equivalent at solver
+    tolerances).  Short kernels keep the direct form (cheaper at runtime,
+    compiles fine)."""
+    d = k.shape[-1]
+    if d <= 256:
+        return jnp.convolve(u, k)[:n]
+    L = 1 << int(np.ceil(np.log2(n + d - 1)))
+    out = jnp.fft.irfft(jnp.fft.rfft(u, L) * jnp.fft.rfft(k, L), L)
+    return out[:n].astype(u.dtype)
+
+
 def solve_locked(kernel: jax.Array, beta: jax.Array, limit: jax.Array,
                  e0: jax.Array, f0: jax.Array, u: jax.Array):
     """Solve e[n], f[n] for x[n+1] = A x[n] + [u[n+1], 0], x[0] = [e0, f0].
@@ -63,8 +80,8 @@ def solve_locked(kernel: jax.Array, beta: jax.Array, limit: jax.Array,
     frequency sequence f[n+1] = f[n] + beta*e[n], and the exactness flag.
     """
     n = u.shape[-1]
-    e = jnp.convolve(u, kernel[:, 0, 0])[:n]
-    f = jnp.convolve(u, kernel[:, 1, 0])[:n]
+    e = _conv_causal(u, kernel[:, 0, 0], n)
+    f = _conv_causal(u, kernel[:, 1, 0], n)
     d = min(kernel.shape[0], n)
     e = e.at[:d].add(kernel[:d, 0, 0] * e0 + kernel[:d, 0, 1] * f0)
     f = f.at[:d].add(kernel[:d, 1, 0] * e0 + kernel[:d, 1, 1] * f0)

@@ -108,6 +108,13 @@ def resolve_front_end(decimation: int, nfft: int, ntaps: int,
     """
     backend = _default_backend() if backend is None else backend
     dec = "fused"
+    if backend == "tpu" and decimation == 16 and front_dtype == "f32":
+        # measured XLA:TPU compile-time landmine: the ×16 single-stage
+        # strided conv takes ~91 s to compile (527 taps; ×32's 1063 taps
+        # takes ~3 s) and the Mosaic kernel ~236 s, while the stage-by-
+        # stage cascade compiles in ~9 s.  These mid-rate configs are
+        # >100x real time on any path, so compile sanity wins.
+        return "cascade", "xla"
     if (backend == "tpu" and front_dtype == "f32"
             and mixdec_supported(decimation)):
         dec = "pallas"

@@ -186,6 +186,13 @@ class ShardedReceiver:
     rdtype: Any = jnp.float32
 
     def __post_init__(self):
+        if self.cfg.decimator_impl == "cascade":
+            # auto routes decimation 16 to the cascade on TPU (compile-time
+            # landmine in the single-stage forms); the sharded halo algebra
+            # needs the composed-tap form, so upgrade back to fused here —
+            # a sharded user accepts the one-time compile cost
+            from dataclasses import replace
+            self.cfg = replace(self.cfg, decimator_impl="fused")
         if self.cfg.decimator_impl not in ("fused", "pallas"):
             raise ValueError("sharded receiver requires the fused decimator "
                              "or the pallas mixdec kernel")

@@ -56,9 +56,15 @@ def test_auto_front_end_resolution_boundaries():
 
     # legality: powers of two <= 128 divide the lanes; multiples of 128
     # take the wide-row form (20 MSPS-class plans)
-    for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
+    for d in (1, 2, 4, 8, 32, 64, 128, 256, 512, 1024):
         assert mixdec_supported(d)
         assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "pallas"
+    # x16 routes to the cascade on TPU: both single-stage forms hit a
+    # measured XLA/Mosaic compile-time pathology (resolve_front_end note)
+    assert mixdec_supported(16)
+    assert resolve_front_end(16, 2048, 1025, backend="tpu")[0] == "cascade"
+    assert resolve_front_end(16, 2048, 1025, front_dtype="bf16",
+                             backend="tpu")[0] == "fused"
     for d in (3, 48, 96, 192, 320):
         assert not mixdec_supported(d)
         assert resolve_front_end(d, 2048, 1025, backend="tpu")[0] == "fused"
@@ -124,3 +130,37 @@ def test_random_config_pallas_equivalence(seed):
             np.testing.assert_allclose(
                 t_p, t_f, atol=3e-4 * scale,
                 err_msg=f"{tap}: {cfg_p}")
+
+
+def test_mixdec_tile_legality_invariant():
+    """_mixdec_tile must only ever return tiles Mosaic can lower: output
+    columns a multiple of 128, or a single tile spanning the block (the
+    4-branch-diversity small-block regression)."""
+    from dataclasses import replace
+
+    from cutesdr_tpu.pipeline.receiver import (ReceiverConfig, _mixdec_tile,
+                                               mixdec_supported)
+
+    rates = [196608.0, 250_000.0, 500_000.0, 1e6, 2e6, 4e6, 10e6, 20e6]
+    for fs in rates:
+        for mode in ("usb", "am", "fm", "cwu"):
+            for frames in (1, 2, 16):
+                for nfft, ntaps in ((2048, 1025), (512, 257), (4096, 2049)):
+                    cfg = ReceiverConfig(input_rate=fs, mode=mode,
+                                         frames_per_block=frames,
+                                         fastfir_nfft=nfft,
+                                         fastfir_ntaps=ntaps,
+                                         decimator_impl="fused")
+                    D = cfg.plan.decimation
+                    t = _mixdec_tile(cfg)
+                    if not mixdec_supported(D):
+                        assert t == 0
+                        continue
+                    if t == 0:
+                        continue
+                    lane = 128 if 128 % D == 0 else D
+                    R = lane // D
+                    out = cfg.block_size // D
+                    assert t % R == 0 and out % t == 0, (cfg, t)
+                    to4 = t // R
+                    assert to4 % 128 == 0 or t == out, (cfg, t)
