@@ -71,16 +71,23 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
     print(f"compile+warmup: {t1 - t0:.1f}s  block={cfg.block_size}",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, out = step(params, state, re, im)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # best of 3 timed repetitions: the remote-tunnel dispatch path has
+    # large run-to-run spread (the bench_suite convention, CLAUDE.md)
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, out = step(params, state, re, im)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        print(f"rep {rep}: {n_iters} x {cfg.block_size} samples in "
+              f"{dt:.3f}s -> {n_iters * cfg.block_size / dt / 1e6:.1f} Msps",
+              file=sys.stderr)
 
     samples = n_iters * cfg.block_size
-    msps = samples / dt / 1e6
-    print(f"receiver: {n_iters} x {cfg.block_size} samples in {dt:.3f}s "
-          f"-> {msps:.1f} Msps", file=sys.stderr)
+    msps = samples / best / 1e6
+    print(f"receiver best-of-3: {msps:.1f} Msps", file=sys.stderr)
     return msps
 
 
