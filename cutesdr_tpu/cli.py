@@ -793,6 +793,10 @@ def cmd_serve(args) -> int:
                 t0 = _time.time()
                 sess.precompile(["am", "sam", "fm", "usb", "lsb",
                                  "cwu", "cwl"])
+                # also the current mode's probes program, so the first
+                # probe-scope selection doesn't pay a compile
+                from dataclasses import replace as _replace
+                sess._prebuild(_replace(sess.cfg, probes=True))
                 print(f"precompiled all modes in {_time.time() - t0:.1f}s "
                       "(--no-precompile to skip)", file=sys.stderr)
     except Exception as e:                    # warm-up is best-effort
