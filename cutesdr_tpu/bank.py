@@ -10,6 +10,7 @@ the web UI drive either interchangeably.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
@@ -70,6 +71,11 @@ class BankSession:
         self._probe_view = "spectrum"
         self._probe_inst = None
         self.running = False
+        # serve's HTTP handler threads call set_probe/select/tune while the
+        # main loop is inside pump(); same RLock discipline as
+        # ReceiverSession (session.py) — reconfiguration vs process pairs
+        # are the reference's per-object QMutex hazard (dsp/demodulator.cpp)
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------- data ---
     def start(self) -> None:
@@ -106,6 +112,10 @@ class BankSession:
                                   float(self.smeter_peak_db[m]))
 
     def flush(self) -> int:
+        with self._lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
         n = len(self._inflight)
         for out, bs in self._inflight:
             self._finish(out, bs)
@@ -114,6 +124,10 @@ class BankSession:
 
     def pump(self, iq: np.ndarray) -> int:
         """Feed raw wideband IQ; returns number of bank steps run."""
+        with self._lock:
+            return self._pump_locked(iq)
+
+    def _pump_locked(self, iq: np.ndarray) -> int:
         if not self.running:
             return 0
         buf = np.concatenate([self._pending, np.asarray(iq, np.complex64)])
@@ -144,13 +158,15 @@ class BankSession:
 
     def select(self, channel: int) -> int:
         """Make `channel` the monitor (audio) channel."""
-        self.monitor = int(channel) % self.n_channels
-        return self.monitor
+        with self._lock:
+            self.monitor = int(channel) % self.n_channels
+            return self.monitor
 
     def tune_channel(self, channel: int, freq_hz: float) -> float:
-        self.tune_freqs[channel] = float(freq_hz)
-        self.bank.set_tune_freqs(self.tune_freqs)
-        return float(freq_hz)
+        with self._lock:
+            self.tune_freqs[channel] = float(freq_hz)
+            self.bank.set_tune_freqs(self.tune_freqs)
+            return float(freq_hz)
 
     def tune_clicked(self, freq_hz: float) -> float:
         """Click-to-tune applies to the monitor channel, with the mode's
@@ -196,6 +212,12 @@ class BankSession:
         transient, acceptable for a debug instrument; unlike the single
         session there is no per-config migration cache for N-channel
         state).  Returns the applied tap (None = off)."""
+        with self._lock:
+            return self._set_probe_locked(tap, view, trigger_mode,
+                                          trigger_level, length)
+
+    def _set_probe_locked(self, tap, view, trigger_mode, trigger_level,
+                          length):
         from dataclasses import replace
 
         from cutesdr_tpu.testbench.probes import (ProbeSpectrum,
@@ -226,11 +248,14 @@ class BankSession:
         self._probe_tap = tap
         self._probe_view = view
         if view == "scope":
-            mode = {"free": TriggerMode.FREE_RUN,
-                    "pos": TriggerMode.NORM_POS,
-                    "neg": TriggerMode.NORM_NEG,
-                    "single+": TriggerMode.SINGLE_POS,
-                    "single-": TriggerMode.SINGLE_NEG}[trigger_mode]
+            modes = {"free": TriggerMode.FREE_RUN,
+                     "pos": TriggerMode.NORM_POS,
+                     "neg": TriggerMode.NORM_NEG,
+                     "single+": TriggerMode.SINGLE_POS,
+                     "single-": TriggerMode.SINGLE_NEG}
+            if trigger_mode not in modes:
+                raise ValueError(f"unknown trigger mode {trigger_mode!r}")
+            mode = modes[trigger_mode]
             self._probe_inst = TriggeredCapture(
                 length=length, pre_samples=length // 4,
                 level=trigger_level,
@@ -249,6 +274,10 @@ class BankSession:
 
     def probe_frame(self) -> Optional[dict]:
         """Latest monitor-channel probe frame for the server (or None)."""
+        with self._lock:
+            return self._probe_frame_locked()
+
+    def _probe_frame_locked(self) -> Optional[dict]:
         if self._probe_tap is None or self._probe_inst is None:
             return None
         base = {"tap": self._probe_tap, "view": self._probe_view,

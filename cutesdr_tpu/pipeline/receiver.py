@@ -77,9 +77,12 @@ def mixdec_supported(decimation: int) -> bool:
 def fastfir4_supported(nfft: int, ntaps: int) -> bool:
     """Legality of the four-step Pallas channel filter for a size pair
     (kernels/fastfir4.py: 128-lane frames; the overlap-save hop must be a
-    multiple of 1024 so output blocks are whole (8, 128) f32 tiles)."""
+    multiple of 1024 so output blocks are whole (8, 128) f32 tiles, and
+    nfft must be a multiple of 1024 so the (nfft/128, 128) VMEM scratch
+    rows are 8-aligned — the Mosaic sublane tiling rule mixdec pads
+    m_rows for; a non-8-aligned scratch fails to compile on real TPU)."""
     valid = nfft - ntaps + 1
-    return (nfft % 128 == 0 and nfft // 128 >= 2 and valid > 0
+    return (nfft % 1024 == 0 and nfft // 128 >= 2 and valid > 0
             and valid % 1024 == 0)
 
 

@@ -286,9 +286,17 @@ class ReceiverSession:
             self._ingest = _IngestWorker(depth=max(1, self.pipeline_depth))
         re = np.asarray(re)
         im = np.asarray(im)
-        if self._pending_re.dtype != re.dtype or not len(self._pending_re):
+        if not len(self._pending_re):
             self._pending_re = self._pending_re.astype(re.dtype)
             self._pending_im = self._pending_im.astype(im.dtype)
+        elif self._pending_re.dtype != re.dtype:
+            # mid-stream wire-dtype change with a partial block pending:
+            # promote BOTH sides to float32 — casting pending f32 down to
+            # int16 would silently truncate/wrap out-of-range values
+            self._pending_re = self._pending_re.astype(np.float32)
+            self._pending_im = self._pending_im.astype(np.float32)
+            re = re.astype(np.float32)
+            im = im.astype(np.float32)
         buf_re = np.concatenate([self._pending_re, re])
         buf_im = np.concatenate([self._pending_im, im])
         if buf_re.dtype not in (np.int16, np.float32):
@@ -507,11 +515,14 @@ class ReceiverSession:
         self._probe_tap = tap
         self._probe_view = view
         if view == "scope":
-            mode = {"free": TriggerMode.FREE_RUN,
-                    "pos": TriggerMode.NORM_POS,
-                    "neg": TriggerMode.NORM_NEG,
-                    "single+": TriggerMode.SINGLE_POS,
-                    "single-": TriggerMode.SINGLE_NEG}[trigger_mode]
+            modes = {"free": TriggerMode.FREE_RUN,
+                     "pos": TriggerMode.NORM_POS,
+                     "neg": TriggerMode.NORM_NEG,
+                     "single+": TriggerMode.SINGLE_POS,
+                     "single-": TriggerMode.SINGLE_NEG}
+            if trigger_mode not in modes:
+                raise ValueError(f"unknown trigger mode {trigger_mode!r}")
+            mode = modes[trigger_mode]
             self._probe_inst = TriggeredCapture(
                 length=length, pre_samples=length // 4,
                 level=trigger_level,

@@ -9,6 +9,7 @@ import json
 import urllib.request
 
 import numpy as np
+import pytest
 
 from cutesdr_tpu.bank import BankSession
 from cutesdr_tpu.pipeline.receiver import ReceiverConfig
@@ -154,3 +155,8 @@ def test_bank_probe_scope_monitor_channel():
     sess.pump(x[:cfg.block_size])
     sess.flush()
     assert sess.probe_frame() is None
+
+    # unknown trigger mode is a ValueError (serve maps it to HTTP 400),
+    # never a KeyError escaping the handler thread (ADVICE r3)
+    with pytest.raises(ValueError, match="trigger mode"):
+        sess.set_probe("p2", view="scope", trigger_mode="bogus")

@@ -84,6 +84,10 @@ def test_auto_front_end_resolution_boundaries():
     assert not fastfir4_supported(2000, 1025)   # nfft not 128-aligned
     assert not fastfir4_supported(128, 1)       # single-row frame
     assert not fastfir4_supported(2048, 2049)   # no valid output
+    # nfft%1024!=0 makes the (nfft/128, 128) VMEM scratch rows non-8-aligned
+    # (Mosaic sublane tiling rule) even when the hop is whole tiles
+    assert not fastfir4_supported(1280, 257)    # valid=1024 but n2=10
+    assert not fastfir4_supported(2176, 1153)   # valid=1024 but n2=17
 
     # random configs resolve to a runnable pair on every backend
     rng = np.random.default_rng(7)

@@ -152,6 +152,39 @@ def test_pump_planes_int16_matches_complex_pump():
     assert s1.metrics.samples_in == 3 * cfg.block_size
 
 
+def test_pump_planes_dtype_change_promotes_pending():
+    """A mid-stream wire-dtype change (f32 feed followed by int16) with a
+    partial block pending must promote the pending f32 remainder, not cast
+    it down to int16 (silent truncation/wraparound — ADVICE r3)."""
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="usb",
+                         tune_freq=60_000.0, audio_rate=48000.0)
+    n = cfg.block_size + cfg.block_size // 2    # leaves a half-block pending
+    x = tone(2 * cfg.block_size, 61_000.0, cfg.input_rate, -20.0)
+    re32 = (np.real(x) * 1.25).astype(np.float32)   # out of int16 range
+    im32 = (np.imag(x) * 1.25).astype(np.float32)
+    re16 = np.real(x).astype(np.int16)
+    im16 = np.imag(x).astype(np.int16)
+
+    s1 = ReceiverSession(cfg)
+    s1.start()
+    s1.pump_planes(re32[:n], im32[:n])              # f32, half block pending
+    s1.pump_planes(re16[:cfg.block_size], im16[:cfg.block_size])  # int16
+    s1.flush()
+
+    s2 = ReceiverSession(cfg)
+    s2.start()                                      # same samples, all f32
+    s2.pump_planes(np.concatenate([re32[:n], re16[:cfg.block_size]
+                                   .astype(np.float32)]),
+                   np.concatenate([im32[:n], im16[:cfg.block_size]
+                                   .astype(np.float32)]))
+    s2.flush()
+
+    assert s1.metrics.blocks == s2.metrics.blocks == 2
+    a1 = s1.audio_queue.get(s1.audio_queue.level)
+    a2 = s2.audio_queue.get(s2.audio_queue.level)
+    np.testing.assert_array_equal(a1, a2)
+
+
 def test_serve_dual_toggle(capsys):
     """`serve --dual` runs the MRC diversity session against a coherent
     dual-channel source and reports the tracked rx2 gain in the status
