@@ -1,0 +1,218 @@
+"""On-chip stage budget for the flagship chain (VERDICT r3 'do this' #1).
+
+Times TRUNCATED variants of the production receiver step with chained
+state — mix+decimate only → +channel filter → +S-meter/AGC → +demod →
+full (+resample tail) — on the flagship 2 MSPS ×32 config and derives the
+per-stage share by subtraction.
+
+Timing methodology (r4 finding, the most important caveat in this repo):
+through the axon tunnel, ``jax.block_until_ready`` returns when the
+dispatch is ACKNOWLEDGED, not when the device finishes — chained-loop
+timings fenced that way measure the RPC floor and report physically
+impossible throughput (a 4096³ f32 matmul loop "measured" 5,979 TFLOP/s on
+a 197-TFLOP chip; every pre-r4 bench number in this repo was such an
+artifact).  The only trustworthy fence is a device->host readback of a
+value derived from the result.  That readback carries a large fixed
+latency (~25-40 ms), so per-step time is taken as the SLOPE between two
+chain lengths:  t_step = (T(k2) - T(k1)) / (k2 - k1), each T fenced by a
+scalar D2H.  Validated against known-FLOPs matmuls: the slope method
+reports ~170 TFLOP/s for bf16 4096³ on v5e (≈86% of the 197 peak) —
+physically sane.
+
+Every variant runs the PRODUCTION code (the receiver module's own _front /
+_levels / _demod_apply / receiver_step).  Reference hot loop being
+budgeted: dsp/fastfir.cpp:266 (600 ns/sample on the author's ~3 GHz x86).
+
+Usage:  python -m cutesdr_tpu.bench_stages [--frames N] [--k1 N] [--k2 N]
+Writes a "stage_budget" entry into BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+REPS = 3
+
+
+def fence(out):
+    """Force device completion: D2H readback of a scalar derived from the
+    output.  jax.block_until_ready is NOT a fence through the axon tunnel
+    (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.real(jnp.sum(leaf)))
+
+
+def slope_time(step, params, state, re, im, k1=2, k2=8, reps=REPS):
+    """Best-of-reps seconds/step via the two-length slope, state chained."""
+    out = step(params, state, re, im)
+    fence(out[1])
+    s0 = out[0]
+    best = None
+    for _ in range(reps):
+        ts = {}
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            s = s0
+            for _ in range(k):
+                o = step(params, s, re, im)
+                s = o[0]
+            fence(o[1])
+            ts[k] = time.perf_counter() - t0
+        per = (ts[k2] - ts[k1]) / (k2 - k1)
+        best = per if best is None else min(best, per)
+    return best
+
+
+def make_variants(cfg):
+    """Jitted truncated steps, all built from the receiver module's own
+    stage functions.  Each returns (carried_state, f32 output) — complex64
+    never crosses the device boundary (CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutesdr_tpu.pipeline import receiver as rx
+
+    def front_only(p, s, re, im):
+        iq = jax.lax.complex(re, im)
+        nb_c, nco_c, dec_c, ff_c, filt = rx._front(cfg, p, s, iq)
+        ns = s._replace(nco=nco_c, blanker=nb_c, dec=dec_c, chan_filter=ff_c)
+        return ns, jnp.sum(jnp.abs(filt))
+
+    def mixdec_only(p, s, re, im):
+        # the front end minus the channel filter: production dispatches on
+        # cfg.decimator_impl exactly as rx._front does
+        iq = jax.lax.complex(re, im) - p.dc_offset
+        if cfg.decimator_impl == "pallas":
+            dec_c, base = rx._make_mixdec(cfg)(p.dec, s.dec, iq)
+            ns = s._replace(dec=dec_c)
+        else:
+            from cutesdr_tpu.ops import decimator, nco
+            nco_c, mixed = nco.process(p.nco, s.nco, iq)
+            if cfg.decimator_impl == "fused":
+                dec_c, base = decimator.fused_process(cfg.plan, p.dec,
+                                                      s.dec, mixed)
+            else:
+                dec_c, base = decimator.cascade_process(cfg.plan, s.dec,
+                                                        mixed)
+            ns = s._replace(nco=nco_c, dec=dec_c)
+        return ns, jnp.sum(jnp.abs(base))
+
+    def levels(p, s, re, im):
+        iq = jax.lax.complex(re, im)
+        nb_c, nco_c, dec_c, ff_c, filt = rx._front(cfg, p, s, iq)
+        sm_c, agc_c, leveled = rx._levels(cfg, p, s, filt)
+        ns = s._replace(nco=nco_c, blanker=nb_c, dec=dec_c, chan_filter=ff_c,
+                        agc=agc_c, smeter=sm_c)
+        return ns, jnp.sum(jnp.abs(leveled))
+
+    def demod(p, s, re, im):
+        iq = jax.lax.complex(re, im)
+        nb_c, nco_c, dec_c, ff_c, filt = rx._front(cfg, p, s, iq)
+        sm_c, agc_c, leveled = rx._levels(cfg, p, s, filt)
+        dm_c, audio = rx._demod_apply(cfg, p.demod, s.demod, leveled)
+        ns = s._replace(nco=nco_c, blanker=nb_c, dec=dec_c, chan_filter=ff_c,
+                        agc=agc_c, smeter=sm_c, demod=dm_c)
+        return ns, jnp.sum(jnp.abs(audio))
+
+    def full(p, s, re, im):
+        ns, out = rx.receiver_step(cfg, p, s, jax.lax.complex(re, im))
+        return ns, out.audio   # f32 — safe D2H
+
+    return {"mixdec": jax.jit(mixdec_only), "front": jax.jit(front_only),
+            "levels": jax.jit(levels), "demod": jax.jit(demod),
+            "full": jax.jit(full)}
+
+
+def run_budget(frames_per_block=256, k1=2, k2=8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.pipeline import receiver as rx
+
+    cfg = rx.ReceiverConfig(input_rate=2_000_000.0, mode="usb",
+                            tune_freq=100_000.0, audio_rate=48000.0,
+                            frames_per_block=frames_per_block)
+    params, state = rx.init(cfg)
+    rng = np.random.default_rng(7)
+    re = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 100).astype(np.float32)))
+    im = jax.device_put(jnp.asarray(
+        (rng.standard_normal(cfg.block_size) * 100).astype(np.float32)))
+
+    print(f"block: {cfg.block_size} samples "
+          f"({cfg.block_size / cfg.input_rate * 1e3:.0f} ms of radio time), "
+          f"decimator={cfg.decimator_impl} fastfir={cfg.fastfir_impl}",
+          file=sys.stderr)
+
+    rows = {}
+    for name, step in make_variants(cfg).items():
+        t = slope_time(step, params, state, re, im, k1, k2)
+        rows[name] = t
+        print(f"{name:>8}: {t * 1e3:8.3f} ms/step  "
+              f"({cfg.block_size / t / 1e6:8.1f} Msps)", file=sys.stderr)
+
+    shares = {
+        "mix_decimate": rows["mixdec"],
+        "channel_filter": rows["front"] - rows["mixdec"],
+        "smeter_agc": rows["levels"] - rows["front"],
+        "demod": rows["demod"] - rows["levels"],
+        "resample_tail": rows["full"] - rows["demod"],
+    }
+    total = rows["full"]
+    budget = {
+        "config": "stage_budget_usb2m",
+        "frames_per_block": frames_per_block,
+        "block": cfg.block_size,
+        "fence": "d2h_slope",
+        "ms_per_step": {k: round(v * 1e3, 4) for k, v in rows.items()},
+        "stage_share_pct": {k: round(100 * v / total, 1)
+                            for k, v in shares.items()},
+        "full_iq_msps": round(cfg.block_size / total / 1e6, 1),
+    }
+    print("stage shares of the full step:", file=sys.stderr)
+    for k, v in budget["stage_share_pct"].items():
+        print(f"  {k:>16}: {v:6.1f} %", file=sys.stderr)
+    return budget
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--k1", type=int, default=2)
+    ap.add_argument("--k2", type=int, default=8)
+    args = ap.parse_args(argv)
+    _enable_compile_cache()
+    import jax
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    budget = run_budget(args.frames, args.k1, args.k2)
+    print(json.dumps(budget))
+    details = []
+    if os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as f:
+            details = json.load(f)
+    details = [d for d in details if d.get("config") != budget["config"]]
+    details.append(budget)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
+    print("updated BENCH_DETAILS.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from cutesdr_tpu.ops.util import sliding_window_max
+from cutesdr_tpu.ops.util import (distance_since_last_true,
+                                  first_order_recurrence,
+                                  sliding_window_max)
 from cutesdr_tpu.types import MAX_AMPLITUDE, complex_zeros
 
 DELAY_TIMECONST = 0.015
@@ -139,30 +141,152 @@ def _averager_scan(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
     return a, d, timer, mag
 
 
-def process(cfg: AgcConfig, params: AgcParams, carry: AgcCarry,
-            x: jax.Array) -> tuple[AgcCarry, jax.Array]:
-    if not cfg.agc_on:
-        return carry, params.manual_gain * x
+GUESS_ITERS = 8     # guess-verify rounds for the parallel averagers
+                    # (6 converges speech-like envelopes; 8 adds margin —
+                    # each round is one log-depth associative scan, ~0.35 ms
+                    # at 262k samples, vs ~730 ms for the sequential scan)
 
+
+def _shift1(x: jax.Array, x0) -> jax.Array:
+    """x[n-1] series: [x0, x[0], ..., x[-2]]."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(x0, x.dtype),
+                          x.shape[:-1] + (1,)), x[..., :-1]], axis=-1)
+
+
+def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
+    """Parallel solve of the two-rate averager
+        x[n] = (1-a[n])·x[n-1] + a[n]·pk[n],
+        a[n] = rise_alpha if pk[n] > x[n-1] else fall_alpha
+    by guess-verify: pick a branch pattern, solve the then-linear
+    time-varying recurrence in log depth (associative scan), re-derive the
+    pattern from the trajectory, iterate.  Because every fixed-pattern
+    trajectory lower-bounds the true one (the true step is the max of the
+    two branches — they cross at pk[n], and rise_alpha > fall_alpha makes
+    the taken branch the larger), the iteration is monotone non-decreasing
+    and its fixed point IS the exact solution.  Returns (trajectory,
+    converged) — the caller falls back to the sequential scan when the
+    final pattern has not stabilized (same architecture as the FM PLL's
+    linear locked-loop solve, ops/pll.py)."""
+    pattern = peak > _shift1(peak, x0)          # cheap initial guess
+    x = valid = None
+    for _ in range(n_iters):
+        alpha = jnp.where(pattern, rise_alpha, fall_alpha)
+        x = first_order_recurrence(1.0 - alpha, alpha * peak, x0)
+        pattern_new = peak > _shift1(x, x0)
+        valid = jnp.all(pattern_new == pattern, axis=-1)
+        pattern = pattern_new
+    return x, valid
+
+
+def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
+    """Parallel solve of the hang-mode decay averager: rise fast while
+    pk > d, then HOLD for hang_time samples, then release.  The branch
+    pattern reduces to the rising flags alone: the hold window is
+    `distance since last rise < hang_time` (the timer is exactly
+    min(distance, hang_time) — it resets on rise, increments during hold,
+    freezes at the cap)."""
+    pattern = peak > _shift1(peak, d0)
+    d = dist = valid = None
+    for _ in range(n_iters):
+        dist = distance_since_last_true(pattern, timer0)
+        timer_prev = _shift1(dist, timer0)
+        hold = (~pattern) & (timer_prev < p.hang_time)
+        alpha = jnp.where(pattern, p.decay_rise_alpha,
+                          jnp.where(hold, jnp.zeros_like(p.decay_fall_alpha),
+                                    p.decay_fall_alpha))
+        d = first_order_recurrence(1.0 - alpha, alpha * peak, d0)
+        pattern_new = peak > _shift1(d, d0)
+        valid = jnp.all(pattern_new == pattern, axis=-1)
+        pattern = pattern_new
+    timer = jnp.minimum(dist[..., -1], p.hang_time).astype(jnp.int32)
+    return d, timer, valid
+
+
+def _averager_parallel(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
+                       peak: jax.Array):
+    """Parallel (log-depth) averagers + per-solve convergence flags."""
+    a, a_ok = _two_rate_parallel(p.attack_rise_alpha, p.attack_fall_alpha,
+                                 carry.attack_ave, peak, GUESS_ITERS)
+    if cfg.use_hang:
+        d, timer, d_ok = _hang_decay_parallel(p, carry.decay_ave,
+                                              carry.hang_timer, peak,
+                                              GUESS_ITERS)
+    else:
+        d, d_ok = _two_rate_parallel(p.decay_rise_alpha, p.decay_fall_alpha,
+                                     carry.decay_ave, peak, GUESS_ITERS)
+        timer = carry.hang_timer
+    magsel = jnp.maximum(a, d)
+    return (a[..., -1], d[..., -1], timer, magsel), a_ok & d_ok
+
+
+def _averager(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
+              peak: jax.Array):
+    """Averagers: parallel solve, exact sequential fallback on the rare
+    non-converged block (lax.cond — the scan only executes then)."""
+    par, valid = _averager_parallel(cfg, p, carry, peak)
+    return lax.cond(valid, lambda _: par,
+                    lambda _: _averager_scan(cfg, p, carry, peak), None)
+
+
+def _prefix(cfg: AgcConfig, carry: AgcCarry, x: jax.Array):
+    """Delay line, log magnitude, window peak — the fully parallel part."""
     n = x.shape[-1]
     rdtype = jnp.real(x).dtype
-
     zd = jnp.concatenate([carry.sig_delay, x], axis=-1)
     delayed = zd[..., :n]
     new_sig_delay = zd[..., n:]
-
     if jnp.iscomplexobj(x):
         inst = jnp.maximum(jnp.abs(x.real), jnp.abs(x.imag))
     else:
         inst = jnp.abs(x)
     mag = jnp.log10(inst + MIN_CONSTANT) - np.log10(MAX_AMPLITUDE)
     mag = mag.astype(rdtype)
+    peak, mag_tail = sliding_window_max(mag, cfg.window_samples,
+                                        carry.mag_tail)
+    return delayed, new_sig_delay, peak, mag_tail
 
-    peak, mag_tail = sliding_window_max(mag, cfg.window_samples, carry.mag_tail)
-    a, d, timer, magsel = _averager_scan(cfg, params, carry, peak)
 
+def _apply_gain(params: AgcParams, magsel: jax.Array, delayed: jax.Array):
+    rdtype = jnp.real(delayed).dtype
     gain = jnp.where(magsel <= params.knee, params.fixed_gain,
-                     AGC_OUTSCALE * 10.0 ** (magsel * (params.gain_slope - 1.0)))
-    y = delayed * gain.astype(rdtype)
+                     AGC_OUTSCALE * 10.0 ** (magsel * (params.gain_slope
+                                                       - 1.0)))
+    return delayed * gain.astype(rdtype)
+
+
+def process(cfg: AgcConfig, params: AgcParams, carry: AgcCarry,
+            x: jax.Array) -> tuple[AgcCarry, jax.Array]:
+    if not cfg.agc_on:
+        return carry, params.manual_gain * x
+
+    delayed, new_sig_delay, peak, mag_tail = _prefix(cfg, carry, x)
+    a, d, timer, magsel = _averager(cfg, params, carry, peak)
+    y = _apply_gain(params, magsel, delayed)
+    return AgcCarry(sig_delay=new_sig_delay, mag_tail=mag_tail,
+                    attack_ave=a, decay_ave=d, hang_timer=timer), y
+
+
+def process_batch(cfg: AgcConfig, params: AgcParams, carry: AgcCarry,
+                  x: jax.Array) -> tuple[AgcCarry, jax.Array]:
+    """AGC over a channel bank (leading channel axis on params/carry/x).
+
+    Equivalent to vmap(process) except convergence of the parallel
+    averagers is voted bank-wide so the sequential-scan fallback stays a
+    real runtime branch — a vmapped lax.cond lowers to select and would
+    execute the scan every step (the same hazard _demod_apply_batch
+    handles for the PLL demods, pipeline/receiver.py)."""
+    if not cfg.agc_on:
+        return carry, params.manual_gain[..., None] * x
+
+    delayed, new_sig_delay, peak, mag_tail = jax.vmap(
+        lambda c, xx: _prefix(cfg, c, xx))(carry, x)
+    par, valid = jax.vmap(
+        lambda p, c, pk: _averager_parallel(cfg, p, c, pk))(
+            params, carry, peak)
+    seq = lambda _: jax.vmap(
+        lambda p, c, pk: _averager_scan(cfg, p, c, pk))(params, carry, peak)
+    a, d, timer, magsel = lax.cond(jnp.all(valid), lambda _: par, seq, None)
+    y = jax.vmap(_apply_gain)(params, magsel, delayed)
     return AgcCarry(sig_delay=new_sig_delay, mag_tail=mag_tail,
                     attack_ave=a, decay_ave=d, hang_timer=timer), y

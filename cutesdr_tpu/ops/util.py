@@ -74,6 +74,39 @@ def ema(alpha, x: jax.Array, init) -> jax.Array:
     return first_order_recurrence(1.0 - alpha, alpha * x, init)
 
 
+def max_affine_recurrence(c: jax.Array, u: jax.Array, v: jax.Array,
+                          s0) -> jax.Array:
+    """Parallel solve of s[n] = max(c[n]·s[n-1] + u[n], v[n]), s[-1] = s0.
+
+    Maps x ↦ max(c·x + u, v) with c ≥ 0 are closed under composition:
+    (f2∘f1)(x) = max(c1·c2·x + c2·u1 + u2, max(c2·v1 + u2, v2)), so a
+    prefix associative_scan over (c, u, v) triples evaluates the whole
+    recurrence in log depth.  This is the exact shape of "EMA with a
+    snap-up floor" recurrences (S-meter attack-dominates rule,
+    dsp/smeter.cpp:62-112)."""
+    c = jnp.broadcast_to(jnp.asarray(c, u.dtype), u.shape)
+    v = jnp.broadcast_to(jnp.asarray(v, u.dtype), u.shape)
+
+    def combine(l, r):
+        return (l[0] * r[0], r[0] * l[1] + r[1],
+                jnp.maximum(r[0] * l[2] + r[1], r[2]))
+
+    C, U, V = lax.associative_scan(combine, (c, u, v), axis=-1)
+    return jnp.maximum(C * s0 + U, V)
+
+
+def distance_since_last_true(flags: jax.Array, init_distance) -> jax.Array:
+    """For each n, the number of samples since ``flags`` was last True
+    (0 at a True sample); positions before any True continue counting from
+    ``init_distance`` (the carry from the previous block)."""
+    n = flags.shape[-1]
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+    # virtual last-True before the block at index -init_distance
+    marked = jnp.where(flags, idx, -jnp.asarray(init_distance, jnp.int32))
+    last = lax.cummax(marked, axis=marked.ndim - 1)   # cummax: no neg axes
+    return idx - last
+
+
 def sliding_window_max(x: jax.Array, window: int, init_tail: jax.Array):
     """Max over the trailing ``window`` samples (inclusive of current) for
     each position of ``x``; ``init_tail`` is the window-1 history.  Returns

@@ -636,8 +636,12 @@ def bank_receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
 
     nb_c, nco_c, dec_c, ff_c, filt, probes = jax.vmap(
         front, in_axes=(0, 0, None if shared_input else 0))(params, state, iq)
-    sm_c, agc_c, leveled = jax.vmap(
-        lambda p, s, f: _levels(cfg, p, s, f))(params, state, filt)
+    # S-meter vmaps cleanly (pure parallel); the AGC goes through the
+    # bank-voted batch path so its scan fallback stays a real branch
+    agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
+    sm_c, _ = jax.vmap(lambda p, s, f: smeter.process(p.smeter, s.smeter, f))(
+        params, state, filt)
+    agc_c, leveled = agc.process_batch(agc_cfg, params.agc, state.agc, filt)
     if cfg.probes:
         probes["p3_agc"] = leveled
     dm_c, audio = _demod_apply_batch(cfg, params.demod, state.demod, leveled)
