@@ -63,11 +63,18 @@ def _dft_tables(n2: int):
 
 
 def _cmatmul(ar, ai, br, bi):
-    """(ar+i·ai) @ (br+i·bi) as planar f32 matmuls."""
-    rr = jnp.dot(ar, br, preferred_element_type=jnp.float32) \
-        - jnp.dot(ai, bi, preferred_element_type=jnp.float32)
-    ri = jnp.dot(ar, bi, preferred_element_type=jnp.float32) \
-        + jnp.dot(ai, br, preferred_element_type=jnp.float32)
+    """(ar+i·ai) @ (br+i·bi) as planar f32 matmuls.
+
+    precision=HIGHEST matters: preferred_element_type only sets the
+    ACCUMULATOR dtype — under the default precision the MXU truncates the
+    f32 inputs to one bf16 pass, flooring the whole channel filter near
+    -84 dB (measured r4: tone-test floor 84 dB vs 146 dB for the XLA fft
+    path).  The 3-pass f32 mode restores it for ~3x the MXU time, which
+    this kernel has 4x headroom for."""
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    rr = jnp.dot(ar, br, **kw) - jnp.dot(ai, bi, **kw)
+    ri = jnp.dot(ar, bi, **kw) + jnp.dot(ai, br, **kw)
     return rr, ri
 
 

@@ -141,10 +141,12 @@ def _averager_scan(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
     return a, d, timer, mag
 
 
-GUESS_ITERS = 8     # guess-verify rounds for the parallel averagers
-                    # (6 converges speech-like envelopes; 8 adds margin —
-                    # each round is one log-depth associative scan, ~0.35 ms
-                    # at 262k samples, vs ~730 ms for the sequential scan)
+GUESS_ITERS = 24    # cap on guess-verify rounds (lax.while_loop exits as
+                    # soon as the pattern validates — realistic window-peak
+                    # series converge in <=4 rounds after the warm start;
+                    # each extra round is one log-depth associative scan,
+                    # ~0.45 ms at 262k samples, vs ~730 ms for the
+                    # sequential-scan fallback a premature exit would cost)
 
 
 def _shift1(x: jax.Array, x0) -> jax.Array:
@@ -168,14 +170,33 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
     converged) — the caller falls back to the sequential scan when the
     final pattern has not stabilized (same architecture as the FM PLL's
     linear locked-loop solve, ops/pll.py)."""
-    pattern = peak > _shift1(peak, x0)          # cheap initial guess
-    x = valid = None
-    for _ in range(n_iters):
+    # warm start: one solve with the geometric-mean rate as a proxy state —
+    # its induced pattern is within ~4 rounds of the fixed point on
+    # realistic window-peak series (the naive "input rising" guess needs
+    # 6-7)
+    ag = jnp.sqrt(rise_alpha * fall_alpha)
+    xg = first_order_recurrence(1.0 - ag, ag * peak, x0)
+    pattern0 = peak > _shift1(xg, x0)
+
+    def body(carry):
+        pattern, _, _, i = carry
         alpha = jnp.where(pattern, rise_alpha, fall_alpha)
         x = first_order_recurrence(1.0 - alpha, alpha * peak, x0)
-        pattern_new = peak > _shift1(x, x0)
-        valid = jnp.all(pattern_new == pattern, axis=-1)
-        pattern = pattern_new
+        prev = _shift1(x, x0)
+        pattern_new = peak > prev
+        # a mismatch at an exact tie (pk == x[n-1]) is harmless: both
+        # branches produce x[n] = pk, so the trajectory — and every later
+        # comparison — is identical either way.  Ties are the COMMON case
+        # on window-peak plateaus (the state rounds to exactly pk in f32),
+        # and without this forgiveness the pattern flips forever and the
+        # solve never validates.
+        valid = jnp.all((pattern_new == pattern) | (peak == prev), axis=-1)
+        return pattern_new, x, valid, i + 1
+
+    carry0 = body((pattern0, xg, jnp.asarray(False), jnp.asarray(0)))
+    _, x, valid, _ = lax.while_loop(
+        lambda c: jnp.logical_not(jnp.all(c[2])) & (c[3] < n_iters),
+        body, carry0)
     return x, valid
 
 
@@ -185,10 +206,18 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
     pattern reduces to the rising flags alone: the hold window is
     `distance since last rise < hang_time` (the timer is exactly
     min(distance, hang_time) — it resets on rise, increments during hold,
-    freezes at the cap)."""
-    pattern = peak > _shift1(peak, d0)
-    d = dist = valid = None
-    for _ in range(n_iters):
+    freezes at the cap).
+
+    NOTE: unlike the two-rate solver, exact ties (pk == d[n-1]) canNOT be
+    forgiven in the validity check — the branch choice at a tie resets the
+    hang TIMER even when the value is unchanged, so a tie mismatch alters
+    future hold windows.  Choppy peak series may therefore fail to
+    validate and take the sequential-scan fallback; hang mode is off by
+    default (the reference's AgcHangOn) and smooth envelopes converge."""
+    pattern0 = peak > _shift1(peak, d0)
+
+    def body(carry):
+        pattern, _, _, _, i = carry
         dist = distance_since_last_true(pattern, timer0)
         timer_prev = _shift1(dist, timer0)
         hold = (~pattern) & (timer_prev < p.hang_time)
@@ -198,7 +227,15 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
         d = first_order_recurrence(1.0 - alpha, alpha * peak, d0)
         pattern_new = peak > _shift1(d, d0)
         valid = jnp.all(pattern_new == pattern, axis=-1)
-        pattern = pattern_new
+        return pattern_new, d, dist, valid, i + 1
+
+    zero_d = jnp.zeros_like(peak)
+    zero_dist = jnp.zeros(peak.shape, jnp.int32)
+    carry0 = body((pattern0, zero_d, zero_dist, jnp.asarray(False),
+                   jnp.asarray(0)))
+    _, d, dist, valid, _ = lax.while_loop(
+        lambda c: jnp.logical_not(jnp.all(c[3])) & (c[4] < n_iters),
+        body, carry0)
     timer = jnp.minimum(dist[..., -1], p.hang_time).astype(jnp.int32)
     return d, timer, valid
 
@@ -206,6 +243,8 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
 def _averager_parallel(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
                        peak: jax.Array):
     """Parallel (log-depth) averagers + per-solve convergence flags."""
+    # two flat [N] solves, NOT one stacked [2, N] solve: the (2, N)
+    # layout wastes 6/8 sublanes and measures 2x slower on v5e
     a, a_ok = _two_rate_parallel(p.attack_rise_alpha, p.attack_fall_alpha,
                                  carry.attack_ave, peak, GUESS_ITERS)
     if cfg.use_hang:

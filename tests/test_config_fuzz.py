@@ -74,6 +74,13 @@ def test_auto_front_end_resolution_boundaries():
     assert resolve_front_end(32, 2048, 1025, front_dtype="bf16",
                              backend="tpu")[0] == "fused"
 
+    # channel filter: pallas four-step when legal on TPU (r4 honest
+    # measurement: 4.1x faster than the XLA fft path), XLA elsewhere
+    assert resolve_front_end(32, 2048, 1025, backend="tpu")[1] == "pallas"
+    assert resolve_front_end(16, 2048, 1025, backend="tpu")[1] == "pallas"
+    assert resolve_front_end(32, 2048, 1000, backend="tpu")[1] == "xla"
+    assert resolve_front_end(32, 2048, 1025, backend="cpu")[1] == "xla"
+
     # four-step legality: 128-lane frames, hop a multiple of 1024
     assert fastfir4_supported(2048, 1025)
     assert fastfir4_supported(4096, 3073)       # valid=1024
