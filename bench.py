@@ -7,10 +7,11 @@ Baseline: the reference sustains a 2 MSPS complex stream in real time on one
 ~3 GHz x86 core (BASELINE.md); vs_baseline = measured_Msps / 2.0.
 
 The benchmark streams synthetic IQ through the flagship config (2 MSPS USB:
-NCO → fused decimate ×32 → 2048-pt overlap-save bandpass → S-meter → AGC →
-SSB demod → 48 kHz resample), state donated between steps, input resident on
-device (host→device transfer for 2 MSPS c64 is 16 MB/s — negligible vs ICI/
-PCIe, and double-buffered in production).  Details go to stderr.
+Pallas fused mix+decimate ×32 → Pallas four-step 2048-pt overlap-save
+bandpass → parallel S-meter/AGC → SSB demod → banded 48 kHz resample),
+state chained between steps, input resident on device.  Timing uses the
+r4 D2H-slope fence (see bench_receiver docstring) — numbers before r4
+were remote-tunnel artifacts.  Details go to stderr.
 """
 
 import json
@@ -39,7 +40,19 @@ def _enable_compile_cache():
     logging.getLogger("jax._src.compiler").setLevel(logging.WARNING)
 
 
-def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
+def bench_receiver(frames_per_block=256, k1=2, k2=12, reps=3):
+    """Honest device throughput of the production receiver step.
+
+    Timing methodology (r4): through the axon tunnel,
+    ``jax.block_until_ready`` returns on dispatch ACK — NOT device
+    completion — so ack-fenced chained loops measure the RPC floor and
+    report impossible numbers (pre-r4 rounds recorded 4,700-5,300 Msps
+    that way; the same harness 'measured' a 4096^3 matmul at 30x the
+    chip's peak FLOPs).  The only real fence is a device->host readback,
+    which carries a ~25-40 ms fixed latency, so per-step time is the
+    SLOPE between two chained lengths, each fenced by a scalar readback.
+    Validated against known-FLOPs matmuls (~86% of v5e bf16 peak).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +62,8 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
                             tune_freq=100_000.0, audio_rate=48000.0,
                             frames_per_block=frames_per_block)
     params, state = rx.init(cfg)
+    print(f"impls: decimator={cfg.decimator_impl} "
+          f"fastfir={cfg.fastfir_impl}", file=sys.stderr)
 
     @jax.jit
     def step(params, state, re, im):
@@ -63,31 +78,32 @@ def bench_receiver(frames_per_block=16, n_iters=100, warmup=3):
     im = jax.device_put(jnp.asarray(
         rng.standard_normal(cfg.block_size).astype(np.float32) * 100))
 
+    def fence(out):
+        return float(jnp.sum(out.audio))      # D2H readback = real fence
+
     t0 = time.perf_counter()
-    for _ in range(warmup):
-        state, out = step(params, state, re, im)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-    print(f"compile+warmup: {t1 - t0:.1f}s  block={cfg.block_size}",
-          file=sys.stderr)
+    state, out = step(params, state, re, im)
+    fence(out)
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f}s  "
+          f"block={cfg.block_size}", file=sys.stderr)
 
-    # best of 3 timed repetitions: the remote-tunnel dispatch path has
-    # large run-to-run spread (the bench_suite convention, CLAUDE.md)
     best = None
-    for rep in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, out = step(params, state, re, im)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-        print(f"rep {rep}: {n_iters} x {cfg.block_size} samples in "
-              f"{dt:.3f}s -> {n_iters * cfg.block_size / dt / 1e6:.1f} Msps",
-              file=sys.stderr)
+    for rep in range(reps):
+        ts = {}
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            s = state
+            for _ in range(k):
+                s, out = step(params, s, re, im)
+            fence(out)
+            ts[k] = time.perf_counter() - t0
+        per = (ts[k2] - ts[k1]) / (k2 - k1)
+        best = per if best is None else min(best, per)
+        print(f"rep {rep}: slope {per * 1e3:.3f} ms/step -> "
+              f"{cfg.block_size / per / 1e6:.1f} Msps", file=sys.stderr)
 
-    samples = n_iters * cfg.block_size
-    msps = samples / best / 1e6
-    print(f"receiver best-of-3: {msps:.1f} Msps", file=sys.stderr)
+    msps = cfg.block_size / best / 1e6
+    print(f"receiver best-of-{reps} slope: {msps:.1f} Msps", file=sys.stderr)
     return msps
 
 

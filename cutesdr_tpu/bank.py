@@ -224,7 +224,8 @@ class BankSession:
                                                   TriggeredCapture,
                                                   TriggerMode)
         short = {"p1": "p1_downconvert", "p2": "p2_fastfir", "p3": "p3_agc",
-                 "p4": "p4_demod", "p5": "p5_resampled", "p7": "p7_blanker"}
+                 "p4": "p4_demod", "p5": "p5_resampled", "p6": "p6_pll",
+                 "p7": "p7_blanker"}
         tap = short.get(tap, tap)
         if tap in (None, "", "off"):
             if self.cfg.probes:
@@ -233,6 +234,8 @@ class BankSession:
                 self.bank = ChannelBank(self.cfg, self.tune_freqs)
             self._probe_tap = self._probe_inst = None
             return None
+        # p6 (PLL internals) is single-session only: the bank demod path
+        # runs the bank-voted batch PLL, which has no probed variant
         valid = ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod",
                  "p5_resampled", "p7_blanker")
         if tap not in valid:

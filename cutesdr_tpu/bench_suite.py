@@ -24,13 +24,27 @@ REPS = 3   # timings through the remote tunnel vary run to run; take the
            # best of REPS measurements and report the spread (CLAUDE.md)
 
 
-def _timeit(step, args, n_iters, state_idx=1):
-    """Time n_iters chained steps (state threads through), excluding the
-    first call (compile).  Returns (best seconds/step, spread fraction)."""
+def _fence(out):
+    """Force device completion via a scalar D2H readback.
+
+    jax.block_until_ready is NOT a fence through the axon tunnel — it
+    returns on dispatch ACK, which is how every pre-r4 bench row in this
+    file overstated throughput by 2-3 orders of magnitude (see
+    bench_stages module docstring for the validation)."""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.real(jnp.sum(leaf)))
+
+
+def _timeit(step, args, n_iters, state_idx=1):
+    """Seconds/step as the slope between two fenced chained lengths
+    (removes the ~25-40 ms fixed D2H latency).  Returns (best of REPS,
+    spread fraction)."""
     out = step(*args)
-    jax.block_until_ready(out)
+    _fence(out[1:])
     state = out[0]
+    k1, k2 = 2, max(4, n_iters)
 
     def run(k):
         s = state
@@ -38,14 +52,13 @@ def _timeit(step, args, n_iters, state_idx=1):
         for _ in range(k):
             o = step(args[0], s, *args[2:])
             s = o[0]
-        jax.block_until_ready(o)
+        _fence(o[1:])
         return time.perf_counter() - t0
 
     samples = []
     for _ in range(REPS):
-        t1 = run(1)
-        tn = run(n_iters + 1)
-        samples.append((tn - t1) / n_iters)
+        ts = {k: run(k) for k in (k1, k2)}
+        samples.append((ts[k2] - ts[k1]) / (k2 - k1))
     best = min(samples)
     return best, (max(samples) - best) / best
 
@@ -96,21 +109,21 @@ def bench_channel_bank(n_iters):
         (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
 
     state, out = bank._step_planes(bank.params, bank.state, re, im)
-    jax.block_until_ready(out.audio)
+    _fence(out.smeter_ave_db)
+    k1, k2 = 2, max(4, n_iters)
 
     def run(k):
         s = state
         t0 = time.perf_counter()
         for _ in range(k):
             s, o = bank._step_planes(bank.params, s, re, im)
-        jax.block_until_ready(o.audio)
+        _fence(o.smeter_ave_db)
         return time.perf_counter() - t0
 
     samples = []
     for _ in range(REPS):
-        t1 = run(1)
-        tn = run(n_iters + 1)
-        samples.append((tn - t1) / n_iters)
+        ts = {k: run(k) for k in (k1, k2)}
+        samples.append((ts[k2] - ts[k1]) / (k2 - k1))
     per_step = min(samples)
     msps = cfg.block_size / per_step / 1e6
     return {"config": "64ch_bank_10msps", "channels": 64,
@@ -120,6 +133,38 @@ def bench_channel_bank(n_iters):
             "channel_msps": round(msps * 64, 1),
             "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
             "spread": round((max(samples) - per_step) / per_step, 2)}
+
+
+def bench_latency_mode(n_iters):
+    """The exact config the CLI latency chooser produces for
+    --target-latency-ms 10 at 2 MSPS (cli.py run/serve default), chained
+    state — the measured number behind the README's latency claim
+    (VERDICT r3 item 5).
+
+    Caveat stated in the row: per-step wall time through this remote
+    tunnel includes a ~0.08-0.1 ms dispatch floor that a locally-attached
+    chip does not pay; the block budget (block/fs) is what real time
+    requires."""
+    from cutesdr_tpu.design.latency import choose_fastfir_sizes, latency_report
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    base = ReceiverConfig(input_rate=2e6, mode="usb", audio_rate=48000.0)
+    cfg = choose_fastfir_sizes(base, 10e-3)
+    rep = latency_report(cfg)
+    row = bench_receiver_cfg("latency10ms_2msps", cfg, n_iters)
+    budget_ms = cfg.block_size / cfg.input_rate * 1e3
+    row.update({
+        "fastfir_nfft": cfg.fastfir_nfft,
+        "fastfir_ntaps": cfg.fastfir_ntaps,
+        "pipeline_latency_ms": round(rep["total"] * 1e3, 2),
+        "budget_ms_per_block": round(budget_ms, 3),
+        "realtime": bool(row["ms_per_step"] < budget_ms),
+        "note": ("chosen by design/latency.choose_fastfir_sizes for a "
+                 "10 ms target; real time needs ms_per_step <= "
+                 f"{budget_ms:.3f} ms; tunnel dispatch floor ~0.08-0.1 ms "
+                 "inflates small-step wall time on this rig"),
+    })
+    return row
 
 
 def _session_breakdown(cfg):
@@ -169,19 +214,20 @@ def _session_breakdown(cfg):
     h2d_sustained_ms = best_of(
         lambda: float(touch(jax.device_put(re), jax.device_put(im))))
 
-    # device step on resident planes — chained x16 with one sync so the
-    # per-call tunnel RPC tax amortizes (the same methodology as the
-    # device-loop rows; a single dispatch+sync through this tunnel reads
-    # tens of ms of pure RPC, not compute)
+    # device step on resident planes — slope between two chained lengths,
+    # each fenced by a scalar D2H (block_until_ready is an ack, not a
+    # fence, through this tunnel — see _fence)
     re_d, im_d = jax.device_put(re), jax.device_put(im)
     out = rx.process_planes(re_d, im_d)               # compile
-    jax.block_until_ready(out.audio)
+    _fence(out.audio)
 
-    def step(k=16):
+    def chain(k):
         for _ in range(k):
             o = rx.process_planes(re_d, im_d)
-        jax.block_until_ready(o.audio)
-    step_ms = best_of(step) / 16.0
+        _fence(o.audio)
+    t2 = best_of(lambda: chain(2))
+    t16 = best_of(lambda: chain(16))
+    step_ms = max(t16 - t2, 0.0) / 14.0
 
     # D2H: materialize the audio block after an async staged copy
     out = rx.process_planes(re_d, im_d)
@@ -292,22 +338,30 @@ def main(argv=None):
     from cutesdr_tpu.pipeline.receiver import ReceiverConfig
 
     results = []
+    # chain rows use frames_per_block=16 (a ~0.26 s throughput block):
+    # at the latency-mode frames_per_block=1 the per-step device time is
+    # overhead-dominated and the slope fence mostly measures fixed costs —
+    # row 9 covers that regime explicitly
     runs = {
         1: lambda: bench_receiver_cfg(
             "am_2msps", ReceiverConfig(input_rate=2e6, mode="am",
-                                       audio_rate=None), args.iters),
+                                       audio_rate=None,
+                                       frames_per_block=16), args.iters),
         2: lambda: bench_receiver_cfg(
             "ssb_2msps", ReceiverConfig(input_rate=2e6, mode="usb",
-                                        audio_rate=None), args.iters),
+                                        audio_rate=None,
+                                        frames_per_block=16), args.iters),
         3: lambda: bench_receiver_cfg(
             "fm_nb_resamp_2msps", ReceiverConfig(input_rate=2e6, mode="fm",
                                                  nb_on=True,
-                                                 audio_rate=48000.0),
+                                                 audio_rate=48000.0,
+                                                 frames_per_block=16),
             args.iters),
         4: bench_channel_bank if False else lambda: bench_channel_bank(args.iters),
         5: lambda: bench_receiver_cfg(
             "full_20msps", ReceiverConfig(input_rate=20_000_000.0,
-                                          mode="usb", audio_rate=48000.0),
+                                          mode="usb", audio_rate=48000.0,
+                                          frames_per_block=16),
             args.iters),
         6: lambda: bench_session_streaming(max(8, args.iters), depth=1,
                                            breakdown=_bd()),
@@ -315,6 +369,7 @@ def main(argv=None):
                                            breakdown=_bd()),
         8: lambda: bench_session_streaming(max(8, args.iters), depth=4,
                                            breakdown=_bd()),
+        9: lambda: bench_latency_mode(args.iters),
     }
 
     _bd_cache = {}

@@ -53,6 +53,9 @@ def _add_receiver_args(p: argparse.ArgumentParser,
     p.add_argument("--nb-width-us", type=float, default=2.0,
                    help="noise blanker blank width, microseconds")
     p.add_argument("--squelch", type=int, default=0)
+    p.add_argument("--fm-deemphasis-us", type=float, default=0.0,
+                   help="FM one-pole de-emphasis tau in us (0 = off; "
+                        "75 Americas / 50 Europe)")
     p.add_argument("--stereo", action="store_true")
     p.add_argument("--volume", type=int, default=99)
     p.add_argument("--seconds", type=float, default=2.0)
@@ -285,7 +288,7 @@ def _cfg_from_args(args, probes: bool = False):
         low_cut=args.low_cut, hi_cut=args.hi_cut, cw_offset=args.cw_offset,
         agc_on=not args.agc_off, nb_on=args.nb_on,
         nb_threshold=args.nb_threshold, nb_width_us=args.nb_width_us,
-        squelch_ui=args.squelch,
+        squelch_ui=args.squelch, fm_deemphasis_us=args.fm_deemphasis_us,
         stereo=args.stereo, front_dtype=args.front_dtype, probes=probes)
     # negative = the run/serve built-in default: ~10 ms best-effort
     best_effort = args.target_latency_ms < 0

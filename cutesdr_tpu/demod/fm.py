@@ -71,6 +71,7 @@ class FmParams(NamedTuple):
                                   # state matrix (truncated impulse response)
     hp_fir: fir.FirParams         # noise HP above the voice band
     lp_iir: iir.IirParams         # 3 kHz audio lowpass when squelch open
+    deemph_alpha: jax.Array       # one-pole de-emphasis; 1.0 = off (y = x)
 
 
 class FmCarry(NamedTuple):
@@ -81,6 +82,7 @@ class FmCarry(NamedTuple):
     squelch_on: jax.Array         # bool
     hp_fir: fir.FirCarry
     lp_iir: iir.IirCarry
+    deemph: jax.Array             # de-emphasis filter state
 
 
 def squelch_threshold_from_ui(value: int) -> float:
@@ -89,8 +91,18 @@ def squelch_threshold_from_ui(value: int) -> float:
     return SQUELCH_MAX - (SQUELCH_MAX * value) / 99.0
 
 
+def deemphasis_alpha(sample_rate: float, tau_us: float) -> float:
+    """One-pole de-emphasis coefficient for a time constant in
+    microseconds; 0 (off) maps to alpha = 1 (identity), so toggling is a
+    traced-knob update, never a recompile."""
+    if tau_us <= 0.0:
+        return 1.0
+    import numpy as np
+    return float(1.0 - np.exp(-1.0 / (sample_rate * tau_us * 1e-6)))
+
+
 def init(sample_rate: float, squelch_ui_value: int = 0,
-         fm_bw: float = VOICE_BANDWIDTH,
+         fm_bw: float = VOICE_BANDWIDTH, deemphasis_us: float = 0.0,
          rdtype=jnp.float32) -> tuple[FmParams, FmCarry]:
     norm = K_2PI / sample_rate
     alpha = 2.0 * FMPLL_ZETA * FMPLL_BW * norm
@@ -108,17 +120,30 @@ def init(sample_rate: float, squelch_ui_value: int = 0,
         dc_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * FMDC_ALPHA))),
         squelch_alpha=r(1.0 - jnp.exp(-1.0 / (sample_rate * SQUELCHAVE_TIMECONST))),
         squelch_threshold=r(squelch_threshold_from_ui(squelch_ui_value)),
-        pll_kernel=r(kernel), hp_fir=fp, lp_iir=ip)
+        pll_kernel=r(kernel), hp_fir=fp, lp_iir=ip,
+        deemph_alpha=r(deemphasis_alpha(sample_rate, deemphasis_us)))
     carry = FmCarry(
         nco_phase=r(0.0), nco_freq=r(0.0), freq_error_dc=r(0.0),
         squelch_ave=r(0.0), squelch_on=jnp.asarray(True),
-        hp_fir=fc, lp_iir=ic)
+        hp_fir=fc, lp_iir=ic, deemph=r(0.0))
     return params, carry
 
 
 def set_squelch(params: FmParams, ui_value: int) -> FmParams:
     return params._replace(squelch_threshold=jnp.asarray(
         squelch_threshold_from_ui(ui_value), params.squelch_threshold.dtype))
+
+
+def set_deemphasis(params: FmParams, tau_us: float,
+                   sample_rate: float) -> FmParams:
+    """Live de-emphasis change (traced-knob update, no recompile).
+
+    BASELINE config 3 names "CFmDemod with de-emphasis"; the reference's
+    CFmDemod (dsp/fmdemod.cpp) has NO de-emphasis stage, so this is a
+    documented extension — off (tau 0) by default for reference parity.
+    Typical NBFM values: 75 us (Americas), 50 us (Europe)."""
+    return params._replace(deemph_alpha=jnp.asarray(
+        deemphasis_alpha(sample_rate, tau_us), params.deemph_alpha.dtype))
 
 
 def set_bandwidth(params: FmParams, fm_bw: float, sample_rate: float) -> FmParams:
@@ -150,11 +175,11 @@ def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
                         -params.nco_limit, params.nco_limit)
         phase = _wrap_pi(phase + freq + params.pll_alpha * err)
         dc = (1.0 - params.dc_alpha) * dc + params.dc_alpha * freq
-        return (phase, freq, dc), (freq - dc) * params.out_gain
+        return (phase, freq, dc), ((freq - dc) * params.out_gain, err)
 
-    (phase, freq, dc), audio = lax.scan(
+    (phase, freq, dc), (audio, err) = lax.scan(
         step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), theta)
-    return jnp.mod(phase, K_2PI), freq, dc, audio
+    return jnp.mod(phase, K_2PI), freq, dc, audio, err
 
 
 def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
@@ -171,7 +196,7 @@ def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
     audio = (f_next - dcs) * params.out_gain
     phase = jnp.mod(-theta[-1] - e[-1] + f_next[-1] + params.pll_alpha * e[-1],
                     K_2PI)
-    return valid, (phase, f_next[-1], dcs[-1], audio)
+    return valid, (phase, f_next[-1], dcs[-1], audio, e)
 
 
 def _pll(params: FmParams, carry: FmCarry, x: jax.Array):
@@ -204,17 +229,31 @@ def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
 
 
 def _post(params: FmParams, carry: FmCarry, pll_out):
-    """Squelch + carry assembly after the PLL (fully parallel per block)."""
-    phase, freq, dc, audio = pll_out
+    """Squelch + de-emphasis + carry assembly after the PLL (parallel)."""
+    phase, freq, dc, audio, _err = pll_out
     fc, ic, ave, squelched, y = _noise_squelch(params, carry, audio)
+    # one-pole de-emphasis (alpha = 1 -> identity = off); a linear
+    # recurrence, solved in parallel like every audio-rate one-pole here
+    y = ema(params.deemph_alpha, y, carry.deemph)
     return FmCarry(nco_phase=phase, nco_freq=freq, freq_error_dc=dc,
                    squelch_ave=ave, squelch_on=squelched,
-                   hp_fir=fc, lp_iir=ic), y
+                   hp_fir=fc, lp_iir=ic, deemph=y[..., -1]), y
 
 
 def process(params: FmParams, carry: FmCarry,
             x: jax.Array) -> tuple[FmCarry, jax.Array]:
     return _post(params, carry, _pll(params, carry, x))
+
+
+def process_probed(params: FmParams, carry: FmCarry, x: jax.Array):
+    """process() + the PLL-internal probe series: the per-sample phase
+    error in radians x100 — the reference's ad-hoc PROFILE_6 tap
+    (dsp/fmdemod.cpp:120 scales the FM loop internals the same way;
+    dsp/samdemod.cpp:92 is the x100 phase-error site).  Returns
+    (carry', audio, p6)."""
+    pll_out = _pll(params, carry, x)
+    c, y = _post(params, carry, pll_out)
+    return c, y, pll_out[4] * 100.0
 
 
 def process_stereo(params: FmParams, carry: FmCarry,

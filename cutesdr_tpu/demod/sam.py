@@ -113,7 +113,7 @@ def _pll_linear(params: SamParams, carry: SamCarry, theta: jax.Array):
 
 
 def _pll(params: SamParams, carry: SamCarry, x: jax.Array):
-    """Hybrid PLL; returns (phase', freq', baseband I/Q sequence)."""
+    """Hybrid PLL; returns (phase', freq', baseband I/Q, phase-error seq)."""
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = _pll_linear(params, carry, theta)
     phase, freq, prev = lax.cond(valid,
@@ -121,7 +121,7 @@ def _pll(params: SamParams, carry: SamCarry, x: jax.Array):
                                  lambda _: _pll_scan(params, carry, theta),
                                  None)
     base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
-    return phase, freq, base
+    return phase, freq, base, _wrap_pi(theta - prev)
 
 
 def _pll_batch(params: SamParams, carry: SamCarry, x: jax.Array):
@@ -136,7 +136,7 @@ def _pll_batch(params: SamParams, carry: SamCarry, x: jax.Array):
         lambda _: jax.vmap(_pll_scan)(params, carry, theta),
         None)
     base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
-    return phase, freq, base
+    return phase, freq, base, _wrap_pi(theta - prev)
 
 
 def _dc_block(state, u):
@@ -164,23 +164,32 @@ def _post_stereo(params: SamParams, carry: SamCarry, phase, freq, base):
 
 def process(params: SamParams, carry: SamCarry,
             x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll(params, carry, x)
+    phase, freq, base, _ = _pll(params, carry, x)
     return _post_mono(carry, phase, freq, base)
+
+
+def process_probed(params: SamParams, carry: SamCarry, x: jax.Array):
+    """process() + the PLL phase-error series x100 — the reference's
+    ad-hoc PROFILE_6 tap (dsp/samdemod.cpp:92: `phzerror*100.0` to
+    g_pTestBench).  Returns (carry', audio, p6)."""
+    phase, freq, base, err = _pll(params, carry, x)
+    c, y = _post_mono(carry, phase, freq, base)
+    return c, y, err * 100.0
 
 
 def process_stereo(params: SamParams, carry: SamCarry,
                    x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll(params, carry, x)
+    phase, freq, base, _ = _pll(params, carry, x)
     return _post_stereo(params, carry, phase, freq, base)
 
 
 def process_batch(params: SamParams, carry: SamCarry,
                   x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll_batch(params, carry, x)
+    phase, freq, base, _ = _pll_batch(params, carry, x)
     return jax.vmap(_post_mono)(carry, phase, freq, base)
 
 
 def process_batch_stereo(params: SamParams, carry: SamCarry,
                          x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base = _pll_batch(params, carry, x)
+    phase, freq, base, _ = _pll_batch(params, carry, x)
     return jax.vmap(_post_stereo)(params, carry, phase, freq, base)

@@ -143,8 +143,12 @@ class ReceiverConfig:
     agc_manual_gain_db: float = 30.0
     agc_slope: float = 0.0
     agc_decay_ms: float = 200.0
-    # FM squelch / noise blanker
+    # FM squelch / de-emphasis / noise blanker
     squelch_ui: int = 0
+    # one-pole de-emphasis time constant in us (0 = off, reference parity:
+    # dsp/fmdemod.cpp has no de-emphasis; BASELINE config 3 names one).
+    # Typical NBFM: 75 (Americas) / 50 (Europe).
+    fm_deemphasis_us: float = 0.0
     nb_on: bool = False
     nb_threshold: float = 50.0
     nb_width_us: float = 2.0
@@ -336,19 +340,33 @@ def _demod_init(cfg: ReceiverConfig, rdtype):
     if m == DEMOD_SAM:
         return sam_demod.init(fs, rdtype)
     if m == DEMOD_FM:
-        return fm_demod.init(fs, cfg.squelch_ui, cfg.hi_cut, rdtype)
+        return fm_demod.init(fs, cfg.squelch_ui, cfg.hi_cut,
+                             deemphasis_us=cfg.fm_deemphasis_us,
+                             rdtype=rdtype)
     return None, None           # ssb/cw: stateless
 
 
-def _demod_apply(cfg: ReceiverConfig, params, carry, x):
+def _demod_apply(cfg: ReceiverConfig, params, carry, x, probes=None):
+    """Demodulate one block; with a probes dict and a PLL mode (SAM/FM,
+    mono) also records the P6 PLL-internals tap — the reference's ad-hoc
+    PROFILE_6 sites (dsp/samdemod.cpp:92, dsp/fmdemod.cpp:120): the
+    per-sample phase error x100."""
     m = cfg.mode_id
     if m == DEMOD_AM:
         f = am_demod.process_stereo if cfg.stereo else am_demod.process
         return f(params, carry, x)
     if m == DEMOD_SAM:
+        if probes is not None and not cfg.stereo:
+            c, y, p6 = sam_demod.process_probed(params, carry, x)
+            probes["p6_pll"] = p6
+            return c, y
         f = sam_demod.process_stereo if cfg.stereo else sam_demod.process
         return f(params, carry, x)
     if m == DEMOD_FM:
+        if probes is not None and not cfg.stereo:
+            c, y, p6 = fm_demod.process_probed(params, carry, x)
+            probes["p6_pll"] = p6
+            return c, y
         f = fm_demod.process_stereo if cfg.stereo else fm_demod.process
         return f(params, carry, x)
     f = ssb_demod.process_stereo if cfg.stereo else ssb_demod.process
@@ -535,7 +553,8 @@ def back_end(cfg: ReceiverConfig, params: ReceiverParams,
     if probes is not None:
         probes["p3_agc"] = leveled
 
-    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled)
+    dm_c, audio = _demod_apply(cfg, params.demod, state.demod, leveled,
+                               probes)
     if probes is not None:
         probes["p4_demod"] = audio
 
@@ -597,6 +616,21 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
                               chan_filter=ff_c, agc=agc_c, smeter=sm_c,
                               demod=dm_c, resamp=rs_c)
     return new_state, out
+
+
+def bank_safe_config(cfg: ReceiverConfig) -> ReceiverConfig:
+    """Coerce a config for vmapped (channel-bank) execution.
+
+    The four-step Pallas channel filter streams through ANY-memory-space
+    views with non-trivial index maps, which Pallas cannot add a vmap
+    batch dimension to ("blocks having the same block shape as the array
+    shape and a trivial index_map" lowering error) — banks take the XLA
+    fft path instead.  The mixdec kernel uses plain VMEM tiles and vmaps
+    fine."""
+    if cfg.fastfir_impl == "pallas":
+        from dataclasses import replace
+        return replace(cfg, fastfir_impl="xla")
+    return cfg
 
 
 def _demod_apply_batch(cfg: ReceiverConfig, params, carry, x):

@@ -61,6 +61,7 @@ cursor:ns-resize;user-select:none;margin:2px 0"></div>
    <option value="p2">p2 fastfir</option><option value="p3">p3 agc</option>
    <option value="p4">p4 demod</option>
    <option value="p5">p5 resampled</option>
+   <option value="p6">p6 pll</option>
    <option value="p7">p7 blanker</option></select>
  <select id="probeview"><option value="spectrum">spectrum</option>
    <option value="scope">scope</option></select>

@@ -459,7 +459,7 @@ class ReceiverSession:
 
     # ----------------------------------------------------- probe scope ----
     PROBE_TAPS = ("p1_downconvert", "p2_fastfir", "p3_agc", "p4_demod",
-                  "p5_resampled", "p7_blanker")
+                  "p5_resampled", "p6_pll", "p7_blanker")
 
     def _tap_rate(self, key: str) -> float:
         c = self.cfg
@@ -497,7 +497,8 @@ class ReceiverSession:
                                                   TriggeredCapture,
                                                   TriggerMode)
         short = {"p1": "p1_downconvert", "p2": "p2_fastfir", "p3": "p3_agc",
-                 "p4": "p4_demod", "p5": "p5_resampled", "p7": "p7_blanker"}
+                 "p4": "p4_demod", "p5": "p5_resampled", "p6": "p6_pll",
+                 "p7": "p7_blanker"}
         tap = short.get(tap, tap)
         if tap in (None, "", "off"):
             if self.cfg.probes:
@@ -510,6 +511,9 @@ class ReceiverSession:
             raise ValueError("p7 requires the noise blanker (nb_on)")
         if tap == "p5_resampled" and self.cfg.audio_rate is None:
             raise ValueError("p5 requires the 48 kHz resampler (audio_rate)")
+        if tap == "p6_pll" and (self.cfg.mode not in ("sam", "fm")
+                                or self.cfg.stereo):
+            raise ValueError("p6 requires a mono PLL mode (sam/fm)")
         if not self.cfg.probes:
             self._switch_to(replace(self.cfg, probes=True))
         self._probe_tap = tap

@@ -59,6 +59,7 @@ class ChannelBank:
 
     def __post_init__(self):
         n = len(self.tune_freqs)
+        self.cfg = rx.bank_safe_config(self.cfg)
         if self.mesh is not None:
             n_dev = self.mesh.shape[self.axis]
             if n % n_dev:
@@ -147,6 +148,7 @@ class StackedReceiver:
 
     def __post_init__(self):
         n = len(self.tune_freqs)
+        self.cfg = rx.bank_safe_config(self.cfg)
         p0, s0 = rx.init(self.cfg, self.rdtype)
         params = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (n,) + a.shape), p0)

@@ -118,6 +118,47 @@ def test_fm_demodulates_tone():
     assert snr > 25.0
 
 
+def test_fm_deemphasis_one_pole_response():
+    """fm_deemphasis_us applies a one-pole lowpass to the demodulated
+    audio whose tone attenuation matches the analytic EMA response
+    |H(f)| = a/|1-(1-a)e^{-jw}|; tau=0 is bit-identical OFF (alpha=1, a
+    traced-knob toggle).  BASELINE config 3 ("CFmDemod with de-emphasis");
+    the reference dsp/fmdemod.cpp has none — documented extension."""
+    fs = 62500.0
+    n = 3 * 4096
+    tau_us = 75.0
+    for f_audio in (300.0, 3000.0):
+        t = np.arange(n) / fs
+        deviation = 2000.0
+        phase = (deviation / f_audio) * np.sin(2 * np.pi * f_audio * t)
+        x = 10000.0 * np.exp(1j * phase)
+
+        p0, c0 = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+        _, y_off = fm.process(p0, c0, jnp.asarray(x, C128))
+        p1, c1 = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0,
+                         deemphasis_us=tau_us, rdtype=F64)
+        _, y_on = fm.process(p1, c1, jnp.asarray(x, C128))
+
+        a_off, _ = fit_tone_snr(y_off, f_audio, fs, skip=n // 2)
+        a_on, _ = fit_tone_snr(y_on, f_audio, fs, skip=n // 2)
+        alpha = fm.deemphasis_alpha(fs, tau_us)
+        w = 2 * np.pi * f_audio / fs
+        h = abs(alpha / (1.0 - (1.0 - alpha) * np.exp(-1j * w)))
+        assert abs(a_on / a_off - h) < 0.02 * h, (f_audio, a_on / a_off, h)
+
+    # tau=0 -> alpha=1 -> identity
+    p0, c0 = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
+    pz, cz = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0,
+                     deemphasis_us=0.0, rdtype=F64)
+    _, ya = fm.process(p0, c0, jnp.asarray(x, C128))
+    _, yb = fm.process(pz, cz, jnp.asarray(x, C128))
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    # live knob update keeps the params pytree shape (no recompile)
+    p2 = fm.set_deemphasis(p0, 50.0, fs)
+    assert p2.deemph_alpha.dtype == p0.deemph_alpha.dtype
+
+
 def test_fm_squelch_mutes_noise(rng):
     fs = 62500.0
     p, c = fm.init(fs, squelch_ui_value=50, fm_bw=5000.0, rdtype=F64)
@@ -153,7 +194,7 @@ def test_fm_pll_matches_oracle():
     p, c = fm.init(fs, squelch_ui_value=0, fm_bw=5000.0, rdtype=F64)
     xj = jnp.asarray(x, C128)
     theta = jnp.arctan2(xj.imag, xj.real)
-    _, _, _, audio = fm._pll_scan(p, c, theta)
+    _, _, _, audio, _ = fm._pll_scan(p, c, theta)
     want = oracles.FmPllOracle(fs)(x)
     got = np.asarray(audio)
     # after lock-in, trajectories coincide
@@ -173,10 +214,10 @@ def test_fm_pll_linear_matches_scan_when_locked():
     xj = jnp.asarray(x, C128)
     theta = jnp.arctan2(xj.imag, xj.real)
     # run a first block sequentially to lock, then compare forms on block 2
-    phase, freq, dc, _ = fm._pll_scan(p, c, theta[:4096])
+    phase, freq, dc, _, _ = fm._pll_scan(p, c, theta[:4096])
     c2 = c._replace(nco_phase=phase, nco_freq=freq, freq_error_dc=dc)
-    valid, (lp, lf, ldc, laud) = fm._pll_linear(p, c2, theta[4096:])
-    sp, sf, sdc, saud = fm._pll_scan(p, c2, theta[4096:])
+    valid, (lp, lf, ldc, laud, _) = fm._pll_linear(p, c2, theta[4096:])
+    sp, sf, sdc, saud, _ = fm._pll_scan(p, c2, theta[4096:])
     assert bool(valid)
     scale = float(np.abs(np.asarray(saud)).max())
     np.testing.assert_allclose(np.asarray(laud), np.asarray(saud),
@@ -206,7 +247,7 @@ def test_fm_pll_linear_flags_unlocked_block():
     _, audio = fm.process(p, c, xj)
     want = oracles.FmPllOracle(fs)(x)
     # squelch will likely mute; compare the raw PLL instead
-    _, _, _, raw = fm._pll(p, c, xj)
+    _, _, _, raw, _ = fm._pll(p, c, xj)
     np.testing.assert_allclose(np.asarray(raw), want,
                                atol=1e-6 * max(1.0, np.abs(want).max()))
 

@@ -53,6 +53,57 @@ def test_probe_taps_match_oracle_stages():
         assert err < tol, (name, err)
 
 
+def test_p6_pll_internal_probe():
+    """P6 — the reference's ad-hoc PLL-internals tap (dsp/samdemod.cpp:92
+    `phzerror*100.0`, dsp/fmdemod.cpp:120): with probes on and a PLL mode,
+    the receiver emits the per-sample phase error x100.  A locked PLL on a
+    clean carrier drives it toward zero; the session exposes it as tap
+    'p6_pll' (rejecting it for non-PLL modes)."""
+    import pytest
+
+    from cutesdr_tpu.session import ReceiverSession
+    from cutesdr_tpu.testbench.generators import tone
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="sam",
+                         tune_freq=60_000.0, audio_rate=None, probes=True)
+    # AM carrier 100 Hz above the tune frequency: the SAM PLL must pull in
+    fs = cfg.input_rate
+    n = cfg.block_size * 6
+    t = np.arange(n) / fs
+    x = (2000.0 * (1.0 + 0.4 * np.cos(2 * np.pi * 400.0 * t))
+         * np.exp(2j * np.pi * 60_100.0 * t)).astype(np.complex64)
+
+    rx = Receiver(cfg)
+    p6 = []
+    for b in np.split(x, 6):
+        out = rx.process(jnp.asarray(b))
+        assert "p6_pll" in out.probes
+        p6.append(np.asarray(out.probes["p6_pll"]))
+    p6 = np.concatenate(p6)
+    assert p6.shape == (n // cfg.plan.decimation,)
+    # locked: phase error x100 settles well inside +-100*pi
+    tail = p6[len(p6) // 2:]
+    assert np.abs(tail).max() < 40.0, np.abs(tail).max()
+    # and it is a real error signal: the acquisition transient at the
+    # start of the record shows the loop actually pulling in
+    assert np.abs(p6[:len(p6) // 2]).max() > 1.0
+
+    # session surface: valid for sam/fm, rejected elsewhere
+    sess = ReceiverSession(ReceiverConfig(input_rate=250_000.0, mode="sam",
+                                          tune_freq=60_000.0,
+                                          audio_rate=None))
+    sess.start()
+    assert sess.set_probe("p6") == "p6_pll"
+    sess.pump(x[:cfg.block_size])
+    sess.flush()
+    frame = sess.probe_frame()
+    assert frame["tap"] == "p6_pll"
+    sess2 = ReceiverSession(ReceiverConfig(input_rate=250_000.0, mode="usb"))
+    sess2.start()
+    with pytest.raises(ValueError, match="PLL mode"):
+        sess2.set_probe("p6")
+
+
 def test_spectrum_max_size():
     """65536-pt display FFT (the reference's maximum) works end to end."""
     import jax.numpy as jnp
