@@ -686,7 +686,10 @@ def cmd_serve(args) -> int:
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
                              on_select=on_select,
-                             on_probe=sess.set_probe).start()
+                             on_probe=sess.set_probe,
+                             on_volume=getattr(sess, "set_volume", None),
+                             audio_queue=sess.audio_queue,
+                             audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=freqs[0], low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      click_res=sess.settings.demod[cfg.mode]
@@ -707,7 +710,10 @@ def cmd_serve(args) -> int:
         sess = DiversitySession(cfg, **kw)
         srv = SpectrumServer(port=args.port, sample_rate=args.fs,
                              on_tune=sess.tune_clicked,
-                             on_filter=sess.set_filter).start()
+                             on_filter=sess.set_filter,
+                             on_volume=getattr(sess, "set_volume", None),
+                             audio_queue=sess.audio_queue,
+                             audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      mode=cfg.mode,
@@ -747,7 +753,10 @@ def cmd_serve(args) -> int:
                              on_tune=sess.tune_clicked,
                              on_filter=sess.set_filter,
                              on_mode=on_mode,
-                             on_probe=sess.set_probe).start()
+                             on_probe=sess.set_probe,
+                             on_volume=sess.set_volume,
+                             audio_queue=sess.audio_queue,
+                             audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
                      mode=cfg.mode,

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -56,6 +57,9 @@ cursor:ns-resize;user-select:none;margin:2px 0"></div>
    <option value="gray">grayscale</option></select>
  2D <input id="split" type="range" min="10" max="90" value="40"
    style="width:90px;vertical-align:middle"> wfall
+ <button id="audio" title="stream demodulated audio (chunked WAV)">&#128266; audio</button>
+ vol <input id="vol" type="range" min="0" max="99" value="99"
+   style="width:80px;vertical-align:middle">
  probe <select id="probe"><option value="off">off</option>
    <option value="p1">p1 downconvert</option>
    <option value="p2">p2 fastfir</option><option value="p3">p3 agc</option>
@@ -272,6 +276,19 @@ window.addEventListener('keydown', ev => {
   else if (ev.key === 'ArrowRight'){ fcActive = Math.min(NDIGITS-1, fcActive+1); fcRender(); }
   else if (ev.key === 'Escape'){ fcActive = -1; fcRender(); }
 });
+// browser audio: the rate-locked queue as a streaming WAV (reference:
+// always-on soundcard audio, interface/soundout.cpp:86-133)
+let audioEl = null;
+document.getElementById('audio').onclick = () => {
+  const btn = document.getElementById('audio');
+  if (audioEl){ audioEl.pause(); audioEl.src=''; audioEl = null;
+    btn.innerHTML = '&#128266; audio'; return; }
+  audioEl = new Audio('/audio.wav?ts=' + Date.now());
+  audioEl.play();
+  btn.innerHTML = '&#9209; audio';
+};
+document.getElementById('vol').onchange = e =>
+  post('/volume', {volume: +e.target.value});
 document.getElementById('probe').onchange = e =>
   post('/probe', {tap: e.target.value,
                   view: document.getElementById('probeview').value});
@@ -448,7 +465,9 @@ class SpectrumServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
                  sample_rate: float = 2e6, min_db: float = -120.0,
                  max_db: float = 0.0, on_tune=None, on_filter=None,
-                 on_select=None, on_mode=None, on_probe=None):
+                 on_select=None, on_mode=None, on_probe=None,
+                 on_volume=None, audio_queue=None, audio_rate: int = 48000,
+                 audio_stereo: bool = False):
         self._db = np.full(1024, min_db, np.float32)
         self._smeter = None
         self._overload = False
@@ -456,6 +475,10 @@ class SpectrumServer:
         self._probe: dict | None = None
         self.on_select = on_select
         self.on_probe = on_probe
+        self.on_volume = on_volume
+        self.audio_queue = audio_queue
+        self.audio_rate = int(audio_rate)
+        self.audio_stereo = bool(audio_stereo)
         self._cond = threading.Condition()
         self._seq = 0
         self._stopping = False
@@ -508,6 +531,49 @@ class SpectrumServer:
                             self.wfile.flush()
                     except (BrokenPipeError, ConnectionResetError, OSError):
                         pass
+                elif (self.path.startswith("/audio.wav")
+                      and outer.audio_queue is not None):
+                    # Browser audio: the rate-locked queue streamed as a
+                    # never-ending chunked WAV (RIFF sizes 0xFFFFFFFF, the
+                    # streaming convention) paced at the soundcard rate —
+                    # the reference always plays demodulated audio
+                    # (interface/soundout.cpp:86-133); here the browser
+                    # replaces the host soundcard as the queue consumer,
+                    # so its wall clock drives the same queue-depth
+                    # rate-lock P loop.  Volume rides POST /volume
+                    # upstream (device-side gain).  One listener at a
+                    # time: concurrent readers split the sample stream.
+                    q = outer.audio_queue
+                    rate = outer.audio_rate
+                    ch = 2 if outer.audio_stereo else 1
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    import struct
+                    hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF)
+                           + b"WAVEfmt " + struct.pack(
+                               "<IHHIIHH", 16, 1, ch, rate,
+                               rate * ch * 2, ch * 2, 16)
+                           + b"data" + struct.pack("<I", 0xFFFFFFFF))
+                    try:
+                        self.wfile.write(hdr)
+                        self.wfile.flush()
+                        chunk = rate // 10          # 100 ms cadence
+                        t_next = time.monotonic()
+                        while not outer._stopping:
+                            t_next += chunk / rate
+                            dt = t_next - time.monotonic()
+                            if dt > 0:
+                                time.sleep(dt)
+                            else:                   # fell behind: resync
+                                t_next = time.monotonic()
+                            pcm = q.get(chunk)      # int16 [n] or [n, 2]
+                            self.wfile.write(np.ascontiguousarray(
+                                pcm, np.int16).tobytes())
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        pass
                 else:
                     self.send_error(404)
 
@@ -538,6 +604,11 @@ class SpectrumServer:
                         if applied:
                             outer.view["mode"] = applied
                     self._send(json.dumps({"mode": applied}).encode(),
+                               "application/json")
+                elif self.path == "/volume" and outer.on_volume:
+                    vol = max(0, min(99, int(req.get("volume", 99))))
+                    outer.on_volume(vol)
+                    self._send(json.dumps({"volume": vol}).encode(),
                                "application/json")
                 elif self.path == "/probe" and outer.on_probe:
                     # testbench probe scope (gui/testbench.cpp:583-898):
