@@ -132,6 +132,10 @@ def main():
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / 2.0, 2),
+        "note": ("r4 honest D2H-slope fence; r1-r3 values (4700-5343) were "
+                 "remote-tunnel artifacts (block_until_ready acks the "
+                 "dispatch without waiting) — the same harness honestly "
+                 "measured the r3 code at 5.7 Msps"),
     }))
 
 

@@ -63,7 +63,11 @@ def _timeit(step, args, n_iters, state_idx=1):
     return best, (max(samples) - best) / best
 
 
-def bench_receiver_cfg(name, cfg, n_iters, extras=None):
+def bench_receiver_cfg(name, cfg, n_iters, extras=None, stimulus=None):
+    """One chain row.  ``stimulus``: optional complex ndarray of
+    cfg.block_size samples (default: white noise — the WORST case for the
+    PLL modes, whose unlocked blocks take the exact sequential-scan
+    fallback; pass a real modulated signal to bench the locked path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,6 +80,19 @@ def bench_receiver_cfg(name, cfg, n_iters, extras=None):
     step = jax.jit(lambda p, s, re, im: rx.receiver_step(
         cfg, p, s, jax.lax.complex(re, im)))
     rng = np.random.default_rng(3)
+    if stimulus is not None:
+        re = jax.device_put(jnp.asarray(
+            np.real(stimulus).astype(np.float32)))
+        im = jax.device_put(jnp.asarray(
+            np.imag(stimulus).astype(np.float32)))
+        per_step, spread = _timeit(step, (params, state, re, im), n_iters)
+        msps = cfg.block_size / per_step / 1e6
+        return {"config": name, "input_rate": cfg.input_rate,
+                "mode": cfg.mode, "block": cfg.block_size,
+                "ms_per_step": round(per_step * 1e3, 3),
+                "iq_msps": round(msps, 1),
+                "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
+                "spread": round(spread, 2), **(extras or {})}
     re = jax.device_put(jnp.asarray(
         (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
     im = jax.device_put(jnp.asarray(
@@ -133,6 +150,25 @@ def bench_channel_bank(n_iters):
             "channel_msps": round(msps * 64, 1),
             "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
             "spread": round((max(samples) - per_step) / per_step, 2)}
+
+
+def _bench_fm_locked(n_iters):
+    """FM row with a LOCKED stimulus (voice-like FM at the tune freq):
+    the PLL runs the parallel linear solve, which is what a real FM
+    station exercises — the noise-input row is the acquisition-grade
+    worst case."""
+    import numpy as np
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    cfg = ReceiverConfig(input_rate=2e6, mode="fm", nb_on=True,
+                         audio_rate=48000.0, frames_per_block=16)
+    t = np.arange(cfg.block_size) / cfg.input_rate
+    beta = 3000.0 / 700.0
+    x = 8000.0 * np.exp(1j * (2 * np.pi * 0.0 * t
+                              + beta * np.sin(2 * np.pi * 700.0 * t)))
+    return bench_receiver_cfg("fm_locked_2msps", cfg, n_iters,
+                              stimulus=x.astype(np.complex64))
 
 
 def bench_latency_mode(n_iters):
@@ -356,7 +392,11 @@ def main(argv=None):
                                                  nb_on=True,
                                                  audio_rate=48000.0,
                                                  frames_per_block=16),
-            args.iters),
+            args.iters,
+            extras={"note": "white-noise input = unlocked-PLL worst case "
+                            "(sequential-scan fallback every block); see "
+                            "fm_locked_2msps for the locked path"}),
+        10: lambda: _bench_fm_locked(args.iters),
         4: bench_channel_bank if False else lambda: bench_channel_bank(args.iters),
         5: lambda: bench_receiver_cfg(
             "full_20msps", ReceiverConfig(input_rate=20_000_000.0,

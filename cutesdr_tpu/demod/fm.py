@@ -178,7 +178,8 @@ def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
         return (phase, freq, dc), ((freq - dc) * params.out_gain, err)
 
     (phase, freq, dc), (audio, err) = lax.scan(
-        step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), theta)
+        step, (carry.nco_phase, carry.nco_freq, carry.freq_error_dc), theta,
+        unroll=8)   # ~2x on the serialized-VPU scan floor (r4 honest fence)
     return jnp.mod(phase, K_2PI), freq, dc, audio, err
 
 

@@ -88,7 +88,8 @@ def _pll_scan(params: SamParams, carry: SamCarry, theta: jax.Array):
         return (phase, freq), phase
 
     (phase, freq), phases = lax.scan(
-        step, (carry.nco_phase, carry.nco_freq), theta)
+        step, (carry.nco_phase, carry.nco_freq), theta,
+        unroll=8)   # ~2x on the serialized-VPU scan floor (r4 honest fence)
     # note: the reference rotates by the *pre-update* phase; emitting the
     # post-update phase differs by one loop increment — the PLL output is a
     # tracked baseband either way (lock behavior identical); rotate with the
