@@ -59,8 +59,11 @@ MODE_ID = {"am": 0, "sam": 1, "fm": 2, "usb": 3, "lsb": 4, "cwu": 5,
 OSC_AMP = np.sqrt(0.95)          # quadrature-osc settled amplitude
 
 
-def run_reference(cfg: ReceiverConfig, x: np.ndarray, workdir: str):
-    """Drive the compiled reference chain; returns (audio_f64, taps dict)."""
+def run_reference(cfg: ReceiverConfig, x: np.ndarray, workdir: str,
+                  stereo: bool = False):
+    """Drive the compiled reference chain; returns (audio_f64, taps dict).
+    With ``stereo`` the audio comes back [n, 2] (left, right) from the
+    reference's stereo ProcessData overload (dsp/demodulator.cpp:221-273)."""
     nco_inc = 2 * np.pi * (-cfg.tune_freq + cfg.cw_offset) / cfg.input_rate
     comp = np.exp(-1j * nco_inc) / OSC_AMP
     xc = x.astype(np.complex128) * comp
@@ -75,9 +78,12 @@ def run_reference(cfg: ReceiverConfig, x: np.ndarray, workdir: str):
          str(MODE_ID[cfg.mode]), str(int(cfg.low_cut)),
          str(int(cfg.hi_cut)), str(int(cfg.cw_offset)),
          "1" if cfg.agc_on else "0", str(int(cfg.agc_thresh_db)),
-         str(int(cfg.agc_decay_ms)), prefix],
+         str(int(cfg.agc_decay_ms)), prefix]
+        + (["1"] if stereo else []),
         check=True, capture_output=True)
     audio = np.fromfile(prefix + ".audio.f64")
+    if stereo:
+        audio = audio.reshape(-1, 2)
     taps = {}
     for tag in ("p1", "p2", "p3"):
         v = np.fromfile(f"{prefix}.{tag}.f64")
@@ -104,10 +110,60 @@ def snr_db(want, got, skip):
                          / max(np.mean(err ** 2), 1e-30))
 
 
+def make_sam_stereo():
+    """Stereo SAM cross-check: the reference's Hilbert sideband splitter
+    (dsp/samdemod.cpp:149-156, LSB->left/USB->right) vs our production
+    stereo chain — no oracle in the loop, the reference binary is the
+    truth.  Stimulus: carrier at the tune frequency + distinct USB/LSB
+    tones so channel separation is falsifiable."""
+    import jax.numpy as jnp
+
+    cfg = ReceiverConfig(input_rate=250_000.0, mode="sam",
+                         tune_freq=60_000.0, audio_rate=None, stereo=True,
+                         agc_on=True, agc_thresh_db=-90.0)
+    n_blocks = 8
+    n = cfg.block_size * n_blocks
+    fs = cfg.input_rate
+    t = np.arange(n) / fs
+    x = (6000.0 * np.exp(2j * np.pi * 60_000.0 * t)
+         + 1500.0 * np.exp(2j * np.pi * (60_000.0 + 1200.0) * t)
+         + 1500.0 * np.exp(2j * np.pi * (60_000.0 - 700.0) * t)
+         ).astype(np.complex64)
+    with tempfile.TemporaryDirectory() as wd:
+        ref_audio, _ = run_reference(cfg, x, wd, stereo=True)
+
+    rx = Receiver(cfg)
+    got = []
+    for b in range(n_blocks):
+        out = rx.process(jnp.asarray(
+            x[b * cfg.block_size:(b + 1) * cfg.block_size]))
+        a = np.asarray(out.audio)
+        got.append(np.stack([a.real, a.imag], axis=-1).astype(np.float64))
+    got = np.concatenate(got)
+
+    skip = len(ref_audio) // 2
+    m = min(len(ref_audio), len(got))
+    err = got[skip:m] - ref_audio[skip:m]
+    snr = 10 * np.log10(np.mean(ref_audio[skip:m] ** 2)
+                        / max(np.mean(err ** 2), 1e-30))
+    meta = dict(mode="sam", stereo=True, input_rate=cfg.input_rate,
+                tune_freq=cfg.tune_freq, n_blocks=n_blocks, skip=skip,
+                measured_snr_prod_db=round(snr, 1),
+                min_snr_prod_db=round(snr - 8.0, 1))
+    np.savez_compressed(
+        os.path.join(FIXDIR, "refgold_sam_stereo.npz"),
+        iq_re=np.real(x).astype(np.float32),
+        iq_im=np.imag(x).astype(np.float32),
+        audio=ref_audio, meta=json.dumps(meta))
+    print(f"sam_stereo: ref audio {ref_audio.shape}, "
+          f"f32-prod-vs-ref {snr:.1f} dB")
+
+
 def main():
     if not os.path.exists(HARNESS):
         subprocess.run(["make", "-C", os.path.join(_HERE, "ref_harness")],
                        check=True)
+    make_sam_stereo()
     for name in NAMES:
         d = np.load(os.path.join(FIXDIR, f"golden_{name}.npz"))
         meta = json.loads(str(d["meta"]))

@@ -57,12 +57,14 @@ static void write_f64(const char* prefix, const char* tag,
 
 int main(int argc, char** argv)
 {
-    if (argc != 12) {
+    if (argc != 12 && argc != 13) {
         fprintf(stderr, "usage: %s iq.f64 fs nco_freq mode lowcut hicut "
-                        "cw_offset agc_on agc_thresh agc_decay out_prefix\n",
+                        "cw_offset agc_on agc_thresh agc_decay out_prefix "
+                        "[stereo]\n",
                 argv[0]);
         return 1;
     }
+    bool stereo = (argc == 13) && atoi(argv[12]) != 0;
     const char* iq_path = argv[1];
     double fs = atof(argv[2]);
     double nco_freq = atof(argv[3]);
@@ -118,15 +120,27 @@ int main(int argc, char** argv)
     }
 
     std::vector<TYPEREAL> audio(n + 16);
-    std::vector<double> all_audio;
+    std::vector<TYPECPX> audio_st(n + 16);
+    std::vector<double> all_audio;   // stereo: interleaved left,right
     // feed in modest chunks like the radio does (240/342-sample packets,
     // interface/netiobase.cpp:59-60); CDemodulator buffers internally
     const int CHUNK = 2048;
     for (int pos = 0; pos < n; pos += CHUNK) {
         int len = (pos + CHUNK <= n) ? CHUNK : (n - pos);
-        int got = demod.ProcessData(len, in.data() + pos, audio.data());
-        for (int i = 0; i < got; i++)
-            all_audio.push_back(audio[i]);
+        if (stereo) {
+            // the stereo overload (dsp/demodulator.cpp:221-273); SAM
+            // emits LSB->left (re), USB->right (im)
+            int got = demod.ProcessData(len, in.data() + pos,
+                                        audio_st.data());
+            for (int i = 0; i < got; i++) {
+                all_audio.push_back(audio_st[i].re);
+                all_audio.push_back(audio_st[i].im);
+            }
+        } else {
+            int got = demod.ProcessData(len, in.data() + pos, audio.data());
+            for (int i = 0; i < got; i++)
+                all_audio.push_back(audio[i]);
+        }
     }
 
     write_f64(out_prefix, "audio", all_audio);

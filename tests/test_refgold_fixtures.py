@@ -50,6 +50,36 @@ def test_oracle_matches_reference_binary(name):
         f"have been misread")
 
 
+def test_stereo_sam_matches_reference_binary():
+    """The stereo SAM chain (Hilbert sideband split, LSB->left/USB->right,
+    dsp/samdemod.cpp:149-156) against the reference binary's own STEREO
+    ProcessData overload — no re-derived oracle in the loop."""
+    d = np.load(os.path.join(FIXDIR, "refgold_sam_stereo.npz"))
+    meta = json.loads(str(d["meta"]))
+    cfg = ReceiverConfig(input_rate=meta["input_rate"], mode="sam",
+                         tune_freq=meta["tune_freq"], audio_rate=None,
+                         stereo=True, agc_on=True, agc_thresh_db=-90.0)
+    rx = Receiver(cfg)
+    got = []
+    for b in range(meta["n_blocks"]):
+        sl = slice(b * cfg.block_size, (b + 1) * cfg.block_size)
+        out = rx.process(jnp.asarray(
+            d["iq_re"][sl] + 1j * d["iq_im"][sl], jnp.complex64))
+        a = np.asarray(out.audio)
+        got.append(np.stack([a.real, a.imag], axis=-1).astype(np.float64))
+    got = np.concatenate(got)
+    want = d["audio"]
+    skip = meta["skip"]
+    m = min(len(want), len(got))
+    err = got[skip:m] - want[skip:m]
+    snr = 10 * np.log10(np.mean(want[skip:m] ** 2)
+                        / max(np.mean(err ** 2), 1e-30))
+    assert snr > meta["min_snr_prod_db"], (
+        f"stereo SAM vs reference binary SNR {snr:.1f} dB (pinned bound "
+        f"{meta['min_snr_prod_db']}, at generation "
+        f"{meta['measured_snr_prod_db']})")
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_production_matches_reference_binary(name):
     """The f32 production chain replayed on the fixture IQ agrees with the
