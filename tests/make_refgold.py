@@ -159,11 +159,48 @@ def make_sam_stereo():
           f"f32-prod-vs-ref {snr:.1f} dB")
 
 
+def make_fft_display():
+    """Display-path cross-check: the reference's fused CFft display half
+    (Hann window + averaging + K_B/K_C dB cal + I/Q-swap quirk + bin->
+    pixel max-hold) driven by the reference binary itself (reffft) on a
+    two-tone + noise stimulus; its integer pixel map is pinned.  Our
+    un-fused path must reproduce it within 1 pixel with the documented
+    +6.02 dB calibration quirk re-applied (SpectrumConfig docstring: the
+    reference calibrates against N*A/2 while applying gain-2 windows)."""
+    fs = 2_000_000.0
+    N, ave, frames = 4096, 4, 16
+    rng = np.random.default_rng(11)
+    t = np.arange(N * frames) / fs
+    x = (9000.0 * np.exp(2j * np.pi * 250e3 * t)
+         + 900.0 * np.exp(-2j * np.pi * 614e3 * t)
+         + 40.0 * (rng.standard_normal(N * frames)
+                   + 1j * rng.standard_normal(N * frames)))
+    fftbin = os.path.join(_HERE, "ref_harness", "build", "reffft")
+    with tempfile.TemporaryDirectory() as wd:
+        iq = np.empty(2 * len(x))
+        iq[0::2], iq[1::2] = x.real, x.imag
+        iq.tofile(os.path.join(wd, "in.f64"))
+        subprocess.run(
+            [fftbin, os.path.join(wd, "in.f64"), str(N), str(ave), "0.0",
+             repr(fs), "0.0", "-120.0", "1024", "200",
+             os.path.join(wd, "out")], check=True, capture_output=True)
+        ref_pix = np.fromfile(os.path.join(wd, "out.pix.i32"), np.int32)
+    meta = dict(fft_size=N, ave_size=ave, frames=frames, sample_rate=fs,
+                max_db=0.0, min_db=-120.0, width=1024, height=200)
+    np.savez_compressed(
+        os.path.join(FIXDIR, "refgold_fftdisp.npz"),
+        iq_re=np.real(x).astype(np.float32),
+        iq_im=np.imag(x).astype(np.float32),
+        pix=ref_pix, meta=json.dumps(meta))
+    print(f"fftdisp: {len(ref_pix)} reference pixel heights pinned")
+
+
 def main():
     if not os.path.exists(HARNESS):
         subprocess.run(["make", "-C", os.path.join(_HERE, "ref_harness")],
                        check=True)
     make_sam_stereo()
+    make_fft_display()
     for name in NAMES:
         d = np.load(os.path.join(FIXDIR, f"golden_{name}.npz"))
         meta = json.loads(str(d["meta"]))

@@ -80,6 +80,45 @@ def test_stereo_sam_matches_reference_binary():
         f"{meta['measured_snr_prod_db']})")
 
 
+def test_display_path_matches_reference_binary():
+    """The un-fused spectrum display path (window -> power average -> K_B/
+    K_C dB map -> bin->pixel max-hold) reproduces the reference binary's
+    integer pixel map within 1 pixel at every column, with the documented
+    +6.02 dB calibration quirk re-applied (the reference calibrates
+    against N*A/2 while applying gain-2 windows; we correct it, so the
+    comparison adds 20*log10(2) to our db_compensation)."""
+    import jax.numpy as jnp2
+    import numpy as np2
+
+    from cutesdr_tpu.pipeline import spectrum as sp
+
+    d = np.load(os.path.join(FIXDIR, "refgold_fftdisp.npz"))
+    meta = json.loads(str(d["meta"]))
+    x = d["iq_re"].astype(np.float64) + 1j * d["iq_im"].astype(np.float64)
+    N = meta["fft_size"]
+    cfg = sp.SpectrumConfig(fft_size=N, ave_size=meta["ave_size"],
+                            sample_rate=meta["sample_rate"],
+                            db_compensation=20 * np2.log10(2.0))
+    st = sp.init(cfg)
+    for fr in range(meta["frames"]):
+        st, _ = sp.accumulate(cfg, st,
+                              jnp2.asarray(x[fr * N:(fr + 1) * N],
+                                           jnp2.complex64))
+    db = sp.db_spectrum(cfg, st)
+    pix = np.asarray(sp.screen_map(cfg, db, meta["height"], meta["width"],
+                                   meta["max_db"], meta["min_db"],
+                                   -meta["sample_rate"] / 2,
+                                   meta["sample_rate"] / 2))
+    ref = d["pix"].astype(int)
+    m = min(len(ref), len(pix))
+    diff = np.abs(ref[:m] - pix[:m].astype(int))
+    assert diff.max() <= 1, (
+        f"display pixels diverge from the reference binary by up to "
+        f"{diff.max()} (mean {diff.mean():.2f})")
+    # sanity: the strong tone must actually be rendered near the top
+    assert pix[:m].min() < meta["height"] // 4
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_production_matches_reference_binary(name):
     """The f32 production chain replayed on the fixture IQ agrees with the
