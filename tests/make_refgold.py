@@ -195,12 +195,66 @@ def make_fft_display():
     print(f"fftdisp: {len(ref_pix)} reference pixel heights pinned")
 
 
+def make_misc_ops():
+    """Per-op cross-checks for the two components outside the
+    CDemodulator chain: the fractional resampler (truncating-table sinc,
+    dsp/fractresampler.cpp) and the impulse noise blanker
+    (dsp/noiseproc.cpp), each driven by the reference binary (refmisc)
+    and pinned."""
+    miscbin = os.path.join(_HERE, "ref_harness", "build", "refmisc")
+    fs_in, fs_out = 62500.0, 48000.0
+    rate = fs_in / fs_out
+    n, chunk = 32768, 2048
+    t = np.arange(n) / fs_in
+    x = 8000.0 * np.exp(2j * np.pi * 1000.0 * t)
+    with tempfile.TemporaryDirectory() as wd:
+        iq = np.empty(2 * n)
+        iq[0::2], iq[1::2] = x.real, x.imag
+        iq.tofile(os.path.join(wd, "in.f64"))
+        subprocess.run([miscbin, "resamp", os.path.join(wd, "in.f64"),
+                        repr(rate), str(chunk), os.path.join(wd, "rs")],
+                       check=True, capture_output=True)
+        raw = np.fromfile(os.path.join(wd, "rs.out.f64"))
+    np.savez_compressed(
+        os.path.join(FIXDIR, "refgold_resampler.npz"),
+        iq_re=np.real(x).astype(np.float32),
+        iq_im=np.imag(x).astype(np.float32),
+        out_re=raw[0::2], out_im=raw[1::2],
+        meta=json.dumps(dict(rate=rate, chunk=chunk, skip=100)))
+    print(f"resampler: {len(raw)//2} reference output samples pinned")
+
+    rng = np.random.default_rng(5)
+    xb = 300.0 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    imp = rng.integers(0, n, 12)
+    xb[imp] += 30000.0
+    thresh_ui, width_us = 50.0, 50.0
+    with tempfile.TemporaryDirectory() as wd:
+        iq = np.empty(2 * n)
+        iq[0::2], iq[1::2] = xb.real, xb.imag
+        iq.tofile(os.path.join(wd, "in.f64"))
+        subprocess.run([miscbin, "blanker", os.path.join(wd, "in.f64"),
+                        repr(thresh_ui), repr(width_us), repr(fs_in),
+                        os.path.join(wd, "nb")],
+                       check=True, capture_output=True)
+        raw = np.fromfile(os.path.join(wd, "nb.out.f64"))
+    np.savez_compressed(
+        os.path.join(FIXDIR, "refgold_blanker.npz"),
+        iq_re=np.real(xb).astype(np.float32),
+        iq_im=np.imag(xb).astype(np.float32),
+        out_re=raw[0::2], out_im=raw[1::2],
+        meta=json.dumps(dict(threshold=thresh_ui, width_us=width_us,
+                             fs=fs_in, chunk=2048, skip=1024)))
+    print(f"blanker: {len(raw)//2} reference output samples pinned "
+          f"({int(np.sum((raw[0::2]==0)&(raw[1::2]==0)))} blanked)")
+
+
 def main():
     if not os.path.exists(HARNESS):
         subprocess.run(["make", "-C", os.path.join(_HERE, "ref_harness")],
                        check=True)
     make_sam_stereo()
     make_fft_display()
+    make_misc_ops()
     for name in NAMES:
         d = np.load(os.path.join(FIXDIR, f"golden_{name}.npz"))
         meta = json.loads(str(d["meta"]))
