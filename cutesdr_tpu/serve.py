@@ -452,6 +452,82 @@ for (const cv of [spec, wf]) cv.addEventListener('wheel', ev=>{
 </script></body></html>"""
 
 
+class _AudioTee:
+    """Fan-out distributor for /audio.wav listeners.
+
+    One wall-clock-paced puller thread consumes the rate-locked queue in
+    100 ms chunks (so the queue sees exactly ONE consumer regardless of
+    listener count — the queue-depth rate-lock P loop stays meaningful)
+    and appends to a small sequence-numbered ring; each HTTP connection
+    follows the ring at its own pace.  The puller starts with the first
+    listener and stops with the last, so audio is only drained while
+    someone is listening (same as the single-listener behavior)."""
+
+    RING = 32                       # ~3.2 s of chunks
+
+    def __init__(self, queue, rate: int):
+        self._q = queue
+        self._rate = int(rate)
+        self._ring: dict[int, bytes] = {}
+        self._seq = 0
+        self._listeners = 0
+        self._cond = threading.Condition()
+        self._thread = None
+        self._stop = False
+
+    def _run(self):
+        chunk = self._rate // 10
+        t_next = time.monotonic()
+        while True:
+            with self._cond:
+                if self._stop or self._listeners == 0:
+                    self._thread = None
+                    return
+            t_next += chunk / self._rate
+            dt = t_next - time.monotonic()
+            if dt > 0:
+                time.sleep(dt)
+            else:
+                t_next = time.monotonic()
+            pcm = np.ascontiguousarray(self._q.get(chunk),
+                                       np.int16).tobytes()
+            with self._cond:
+                self._ring[self._seq] = pcm
+                self._ring.pop(self._seq - self.RING, None)
+                self._seq += 1
+                self._cond.notify_all()
+
+    def subscribe(self) -> int:
+        with self._cond:
+            self._listeners += 1
+            if self._thread is None:
+                self._thread = threading.Thread(target=self._run,
+                                                daemon=True,
+                                                name="serve-audio-tee")
+                self._thread.start()
+            return self._seq
+
+    def unsubscribe(self) -> None:
+        with self._cond:
+            self._listeners -= 1
+            self._cond.notify_all()
+
+    def next_chunk(self, seq: int, timeout: float = 1.0):
+        """(pcm, next_seq) — skips ahead if the caller fell off the ring."""
+        with self._cond:
+            self._cond.wait_for(lambda: self._seq > seq or self._stop,
+                                timeout=timeout)
+            if self._seq <= seq:
+                return None, seq
+            seq = max(seq, self._seq - self.RING)
+            return self._ring.get(seq), seq + 1
+
+    def shutdown(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+
+
 class SpectrumServer:
     """Serves the page + spectrum frames; callbacks wire into a session.
 
@@ -477,6 +553,8 @@ class SpectrumServer:
         self.on_probe = on_probe
         self.on_volume = on_volume
         self.audio_queue = audio_queue
+        self._audio_tee = (_AudioTee(audio_queue, int(audio_rate))
+                           if audio_queue is not None else None)
         self.audio_rate = int(audio_rate)
         self.audio_stereo = bool(audio_stereo)
         self._cond = threading.Condition()
@@ -541,9 +619,9 @@ class SpectrumServer:
                     # replaces the host soundcard as the queue consumer,
                     # so its wall clock drives the same queue-depth
                     # rate-lock P loop.  Volume rides POST /volume
-                    # upstream (device-side gain).  One listener at a
-                    # time: concurrent readers split the sample stream.
-                    q = outer.audio_queue
+                    # upstream (device-side gain).  Any number of
+                    # listeners: a single-consumer tee fans the stream out
+                    # (_AudioTee).
                     rate = outer.audio_rate
                     ch = 2 if outer.audio_stereo else 1
                     self.send_response(200)
@@ -556,24 +634,21 @@ class SpectrumServer:
                                "<IHHIIHH", 16, 1, ch, rate,
                                rate * ch * 2, ch * 2, 16)
                            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+                    tee = outer._audio_tee
+                    seq = tee.subscribe()
                     try:
                         self.wfile.write(hdr)
                         self.wfile.flush()
-                        chunk = rate // 10          # 100 ms cadence
-                        t_next = time.monotonic()
                         while not outer._stopping:
-                            t_next += chunk / rate
-                            dt = t_next - time.monotonic()
-                            if dt > 0:
-                                time.sleep(dt)
-                            else:                   # fell behind: resync
-                                t_next = time.monotonic()
-                            pcm = q.get(chunk)      # int16 [n] or [n, 2]
-                            self.wfile.write(np.ascontiguousarray(
-                                pcm, np.int16).tobytes())
+                            pcm, seq = tee.next_chunk(seq)
+                            if pcm is None:
+                                continue
+                            self.wfile.write(pcm)
                             self.wfile.flush()
                     except (BrokenPipeError, ConnectionResetError, OSError):
                         pass
+                    finally:
+                        tee.unsubscribe()
                 else:
                     self.send_error(404)
 
@@ -693,6 +768,8 @@ class SpectrumServer:
 
     def stop(self) -> None:
         self._stopping = True
+        if self._audio_tee is not None:
+            self._audio_tee.shutdown()
         with self._cond:
             self._cond.notify_all()
         self._server.shutdown()

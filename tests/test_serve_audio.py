@@ -70,6 +70,32 @@ def test_audio_wav_streams_decodable_pcm():
         floor = np.median(20 * np.log10(spec + 1e-9))
         assert 20 * np.log10(spec.max()) - floor > 40.0
 
+        # concurrent listeners each get the FULL stream (the single-
+        # consumer tee fans out; naive sharing would split samples)
+        def read_one(out, tag):
+            r2 = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/audio.wav", timeout=10)
+            _read_exact(r2, 44)
+            out[tag] = _read_exact(r2, 24000)
+            r2.close()
+        stop.clear()
+        th2 = threading.Thread(target=feeder, daemon=True)
+        th2.start()
+        outs = {}
+        readers = [threading.Thread(target=read_one, args=(outs, k))
+                   for k in ("a", "b")]
+        for r2 in readers:
+            r2.start()
+        for r2 in readers:
+            r2.join(15)
+        stop.set()
+        for k, raw in outs.items():
+            a2 = np.frombuffer(raw, np.int16).astype(np.float64)
+            assert len(a2) == 12000, (k, len(a2))
+            s2 = np.abs(np.fft.rfft(a2 * np.hanning(len(a2))))
+            pk2 = np.fft.rfftfreq(len(a2), 1 / 48000.0)[np.argmax(s2)]
+            assert abs(pk2 - 1000.0) < 30.0, (k, pk2)
+
         # volume rides POST /volume
         req = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/volume",
