@@ -7,10 +7,13 @@ share everything but the magnitude estimate, :174-296 / :301-401):
   1. signal delay line (15 ms) so gain leads the signal,
   2. log magnitude  log10(max(|I|,|Q|) + K_MIN) - log10(32767)  in decades
      (0 = full scale, -8 = -160 dB),
-  3. 18 ms sliding-window peak  — here a parallel ``reduce_window`` max
-     instead of the reference's branch-heavy O(W) rescan (:209-231),
+  3. 18 ms sliding-window peak — a van Herk cummax instead of the
+     reference's branch-heavy O(W) rescan (:209-231),
   4. attack & decay exponential averagers with separate rise/fall constants
-     (optionally a hang-timer release mode) — a cheap audio-rate lax.scan,
+     (optionally a hang-timer release mode) — solved in PARALLEL by
+     guess-verify over the branch pattern (the recurrence is linear once
+     the rise/fall pattern is fixed; see _two_rate_parallel) with an
+     exact sequential-scan fallback,
   5. gain law: fixed gain below the knee, 10^(mag*(slope-1)) above, output
      scaled to ~3 dB below max (AGC_OUTSCALE).
 

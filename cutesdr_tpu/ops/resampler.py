@@ -6,11 +6,14 @@ output sample convolves 28 input taps selected by a floating-point time
 accumulator, which carries fractional phase across blocks.
 
 TPU design: all output timestamps for a block are computed at once
-(t_k = t0 + k·dt), the 28-tap windows and sinc values are two parallel
-gathers, and the dot products are one batched reduction.  The output count
-per block is data-dependent in the reference (while-loop); here the block
-yields a *static* ``max_out`` with a validity count, so shapes stay static
-under jit — callers consume ``n_valid`` samples.
+(t_k = t0 + k·dt); chunks of 64 consecutive outputs share one lane-aligned
+input window (the only gather) and every windowed-sinc tap weight is
+evaluated analytically in place via a separable closed form of the table
+entry (_sinc_band — TPU gathers cost ~7 ns/element, so the naive per-tap
+window + table gathers were the chain's dominant stage).  The output
+count per block is data-dependent in the reference (while-loop); here the
+block yields a *static* ``max_out`` with a validity count, so shapes stay
+static under jit — callers consume ``n_valid`` samples.
 
 Numerics: timestamps use an exact split-precision scheme (dt = dt_hi + dt_lo
 with dt_hi a multiple of 2^-12 so k·dt_hi is exact in float32) giving ~1e-7
