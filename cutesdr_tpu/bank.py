@@ -168,6 +168,22 @@ class BankSession:
             self.bank.set_tune_freqs(self.tune_freqs)
             return float(freq_hz)
 
+    def set_volume(self, vol: int) -> None:
+        """Web-UI volume (0..99 -> -50..0 dB) for the monitor audio: the
+        gain is a traced per-channel param, applied bank-wide (the queue
+        carries only the monitor channel, so per-channel volumes would be
+        indistinguishable anyway)."""
+        from cutesdr_tpu.pipeline.receiver import volume_params
+        with self._lock:
+            self.settings.volume = int(vol)
+            one = volume_params(
+                jax.tree_util.tree_map(lambda a: a[0], self.bank.params),
+                int(vol))
+            n = self.n_channels
+            self.bank.params = self.bank.params._replace(
+                audio_gain=jax.numpy.broadcast_to(
+                    one.audio_gain, (n,) + one.audio_gain.shape))
+
     def tune_clicked(self, freq_hz: float) -> float:
         """Click-to-tune applies to the monitor channel, with the mode's
         click-resolution rounding (gui/plotter.cpp roundFreq)."""

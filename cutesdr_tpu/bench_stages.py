@@ -203,13 +203,15 @@ def main(argv=None):
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     budget = run_budget(args.frames, args.k1, args.k2)
     print(json.dumps(budget))
+    details_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
     details = []
-    if os.path.exists("BENCH_DETAILS.json"):
-        with open("BENCH_DETAILS.json") as f:
+    if os.path.exists(details_path):
+        with open(details_path) as f:
             details = json.load(f)
     details = [d for d in details if d.get("config") != budget["config"]]
     details.append(budget)
-    with open("BENCH_DETAILS.json", "w") as f:
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=1)
     print("updated BENCH_DETAILS.json", file=sys.stderr)
 

@@ -37,7 +37,7 @@ def _fence(out):
     return float(jnp.real(jnp.sum(leaf)))
 
 
-def _timeit(step, args, n_iters, state_idx=1):
+def _timeit(step, args, n_iters):
     """Seconds/step as the slope between two fenced chained lengths
     (removes the ~25-40 ms fixed D2H latency).  Returns (best of REPS,
     spread fraction)."""
@@ -79,24 +79,12 @@ def bench_receiver_cfg(name, cfg, n_iters, extras=None, stimulus=None):
     # (complex64 host<->device transfers wedge the axon tunnel — CLAUDE.md)
     step = jax.jit(lambda p, s, re, im: rx.receiver_step(
         cfg, p, s, jax.lax.complex(re, im)))
-    rng = np.random.default_rng(3)
-    if stimulus is not None:
-        re = jax.device_put(jnp.asarray(
-            np.real(stimulus).astype(np.float32)))
-        im = jax.device_put(jnp.asarray(
-            np.imag(stimulus).astype(np.float32)))
-        per_step, spread = _timeit(step, (params, state, re, im), n_iters)
-        msps = cfg.block_size / per_step / 1e6
-        return {"config": name, "input_rate": cfg.input_rate,
-                "mode": cfg.mode, "block": cfg.block_size,
-                "ms_per_step": round(per_step * 1e3, 3),
-                "iq_msps": round(msps, 1),
-                "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
-                "spread": round(spread, 2), **(extras or {})}
-    re = jax.device_put(jnp.asarray(
-        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
-    im = jax.device_put(jnp.asarray(
-        (rng.standard_normal(cfg.block_size) * 300).astype(np.float32)))
+    if stimulus is None:
+        rng = np.random.default_rng(3)
+        stimulus = (rng.standard_normal(cfg.block_size)
+                    + 1j * rng.standard_normal(cfg.block_size)) * 300
+    re = jax.device_put(jnp.asarray(np.real(stimulus).astype(np.float32)))
+    im = jax.device_put(jnp.asarray(np.imag(stimulus).astype(np.float32)))
     per_step, spread = _timeit(step, (params, state, re, im), n_iters)
     msps = cfg.block_size / per_step / 1e6
     return {"config": name, "input_rate": cfg.input_rate, "mode": cfg.mode,
@@ -397,7 +385,7 @@ def main(argv=None):
                             "(sequential-scan fallback every block); see "
                             "fm_locked_2msps for the locked path"}),
         10: lambda: _bench_fm_locked(args.iters),
-        4: bench_channel_bank if False else lambda: bench_channel_bank(args.iters),
+        4: lambda: bench_channel_bank(args.iters),
         5: lambda: bench_receiver_cfg(
             "full_20msps", ReceiverConfig(input_rate=20_000_000.0,
                                           mode="usb", audio_rate=48000.0,
@@ -430,17 +418,19 @@ def main(argv=None):
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    details_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
     if args.only:
         # partial run: merge into the existing file instead of clobbering it
         try:
-            with open("BENCH_DETAILS.json") as f:
+            with open(details_path) as f:
                 existing = {r.get("config"): r for r in json.load(f)}
         except (OSError, ValueError):
             existing = {}
         for r in results:
             existing[r.get("config")] = r
         results = list(existing.values())
-    with open("BENCH_DETAILS.json", "w") as f:
+    with open(details_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote BENCH_DETAILS.json ({len(results)} configs)",
           file=sys.stderr)

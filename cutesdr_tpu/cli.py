@@ -634,6 +634,21 @@ def cmd_record(args) -> int:
     return 0
 
 
+def _browser_audio_queue(args, sess):
+    """The queue to expose at /audio.wav, or None.
+
+    The RateLockedQueue is single-consumer (its depth drives the
+    resampler rate lock), so the host soundcard (--audio) and the browser
+    cannot both drain it — with --audio the browser endpoint is disabled
+    rather than silently splitting the sample stream between the two."""
+    if getattr(args, "audio", False):
+        import sys as _sys
+        print("--audio: host soundcard owns the audio queue; "
+              "browser /audio.wav disabled", file=_sys.stderr)
+        return None
+    return sess.audio_queue
+
+
 def cmd_serve(args) -> int:
     """Run a source through the receiver with the browser waterfall UI."""
     import time as _time
@@ -688,7 +703,7 @@ def cmd_serve(args) -> int:
                              on_select=on_select,
                              on_probe=sess.set_probe,
                              on_volume=getattr(sess, "set_volume", None),
-                             audio_queue=sess.audio_queue,
+                             audio_queue=_browser_audio_queue(args, sess),
                              audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=freqs[0], low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
@@ -712,7 +727,7 @@ def cmd_serve(args) -> int:
                              on_tune=sess.tune_clicked,
                              on_filter=sess.set_filter,
                              on_volume=getattr(sess, "set_volume", None),
-                             audio_queue=sess.audio_queue,
+                             audio_queue=_browser_audio_queue(args, sess),
                              audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],
@@ -755,7 +770,7 @@ def cmd_serve(args) -> int:
                              on_mode=on_mode,
                              on_probe=sess.set_probe,
                              on_volume=sess.set_volume,
-                             audio_queue=sess.audio_queue,
+                             audio_queue=_browser_audio_queue(args, sess),
                              audio_stereo=cfg.stereo).start()
         srv.set_view(tune_hz=cfg.tune_freq, low_hz=cfg.low_cut,
                      hi_hz=cfg.hi_cut, symmetric=MODE_LIMITS[cfg.mode][4],

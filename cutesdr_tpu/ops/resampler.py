@@ -57,7 +57,8 @@ def make_sinc_table(rdtype=np.float32,
 
 
 class ResamplerParams(NamedTuple):
-    sinc: jax.Array      # [SINC_LENGTH]
+    # tap weights are computed in closed form (_sinc_band) — no table is
+    # carried; the static tap count lives in carry.tail's shape
     dt_hi: jax.Array     # rate split: dt = in_rate/out_rate = dt_hi + dt_lo
     dt_lo: jax.Array
 
@@ -77,9 +78,7 @@ def init(rate: float, complex_input: bool = False, rdtype=jnp.float32,
     hi, lo = split_rate(rate)
     zero = jnp.zeros((), rdtype)
     tdtype = jax.lax.complex(zero, zero).dtype if complex_input else rdtype
-    return (ResamplerParams(sinc=jnp.asarray(make_sinc_table(periods=periods),
-                                             rdtype),
-                            dt_hi=jnp.asarray(hi, rdtype),
+    return (ResamplerParams(dt_hi=jnp.asarray(hi, rdtype),
                             dt_lo=jnp.asarray(lo, rdtype)),
             ResamplerCarry(tail=complex_zeros(periods, tdtype),
                            t0=jnp.zeros((), rdtype)))
@@ -167,10 +166,13 @@ def _sinc_band(T: jax.Array, m: np.ndarray, periods: int,
     n_round = jnp.round(T)
     r = T - n_round                                   # [-0.5, 0.5]
     sin_r = jnp.sin(np.float32(K_PI) * r)
-    # numer(m) = sin(pi*(m - T - P/2)) = -(-1)^(m + n) * sin(pi*r), P/2 even
+    # numer(m) = sin(pi*(m - T - P/2)) = -(-1)^(m + n + P/2) * sin(pi*r)
+    # (P even; the extra (-1)^(P/2) matters when P/2 is odd, e.g. P=30) —
     # parity handled as a sign outer product
+    assert periods % 2 == 0, "separable band form needs even periods"
     par_T = 1.0 - 2.0 * jnp.mod(n_round, 2.0)         # (-1)^round(T)
-    sign_m = jnp.asarray(np.where(m % 2 == 0, -1.0, 1.0), rdtype)
+    sign_m = jnp.asarray(
+        np.where((m + periods // 2) % 2 == 0, -1.0, 1.0), rdtype)
     numer = (par_T * sin_r)[..., None] * sign_m       # [..., M]
 
     TP = jnp.mod(T, float(periods))
@@ -258,9 +260,14 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     tf = t_frac.reshape(n_chunks, C)
     # tap position v = m - T with T the output's local time; weight
     # nonzero only for v in (0, periods] — exactly the reference's 28
-    # taps per output (separable evaluation, see _sinc_band)
+    # taps per output (separable evaluation, see _sinc_band; odd tap
+    # counts fall back to the direct per-element closed form)
     T = idx_local.astype(rdtype) + tf                      # [nc, C]
-    sv = _sinc_band(T, np.arange(M), periods, interp)      # [nc, C, M]
+    if periods % 2 == 0:
+        sv = _sinc_band(T, np.arange(M), periods, interp)  # [nc, C, M]
+    else:
+        v = jnp.asarray(np.arange(M), rdtype) - T[..., None]
+        sv = _sinc_value(v, periods, interp)
 
     # VPU multiply+reduce (not an MXU dot: TPU f32 dots default to bf16
     # passes, which would cap the resampler's ~100 dB SINAD at ~40 dB)

@@ -338,6 +338,31 @@ def test_resampler_streaming_sinad(fs_in, interp, min_db):
     assert sinad > min_db, sinad
 
 
+def test_sinc_band_matches_direct_form_all_parities():
+    """_sinc_band's separable evaluation equals the direct closed form for
+    every tap-count parity class — P=30 exercises the (-1)^(P/2) factor a
+    review caught missing (P/2 odd negated every weight), odd P takes the
+    direct-form fallback inside process()."""
+    from cutesdr_tpu.ops import resampler as R
+    rng = np.random.default_rng(0)
+    m = np.arange(128)
+    T = jnp.asarray((rng.random(256) * 60).astype(np.float32))
+    for P in (28, 30, 32, 48):
+        for interp in (False, True):
+            sb = R._sinc_band(T, m, P, interp)
+            sv = R._sinc_value(jnp.asarray(m, jnp.float32) - T[:, None],
+                               P, interp)
+            d = float(jnp.max(jnp.abs(sb - sv)))
+            assert d < 2e-4, (P, interp, d)
+    # odd periods route through the fallback and still resample
+    p, c = R.init(62500 / 48000, periods=29)
+    x = (1000 * np.exp(2j * np.pi * 1000 * np.arange(4096) / 62500)
+         ).astype(np.complex64)
+    _, y, nv = R.process(p, c, jnp.asarray(x),
+                         R.max_out_for(4096, 62500 / 48000))
+    assert int(nv) > 3000
+
+
 def test_resampler_long_sinc_snr():
     """The parametrized sinc length must stream correctly (tap count derives
     from the carry shape) and keep the same quality."""
