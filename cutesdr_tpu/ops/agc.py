@@ -34,6 +34,18 @@ from jax import lax
 from cutesdr_tpu.ops.util import (distance_since_last_true,
                                   first_order_recurrence,
                                   sliding_window_max)
+
+
+def _solve(A, B, x0, fast: bool):
+    """x[n] = A[n]·x[n-1] + B[n] — the Pallas scan kernel on the
+    single-stream TPU path (6x the XLA associative_scan, kernels/scan1),
+    the XLA form everywhere else (batched/vmapped callers, CPU, f64
+    golden mode, small blocks)."""
+    if fast:
+        from cutesdr_tpu.kernels import scan1
+        if scan1.use_kernel(jnp.asarray(B)):
+            return scan1.first_order_scan(A, B, x0)
+    return first_order_recurrence(A, B, x0)
 from cutesdr_tpu.types import MAX_AMPLITUDE, complex_zeros
 
 DELAY_TIMECONST = 0.015
@@ -160,7 +172,8 @@ def _shift1(x: jax.Array, x0) -> jax.Array:
                           x.shape[:-1] + (1,)), x[..., :-1]], axis=-1)
 
 
-def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
+def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters,
+                       fast=False):
     """Parallel solve of the two-rate averager
         x[n] = (1-a[n])·x[n-1] + a[n]·pk[n],
         a[n] = rise_alpha if pk[n] > x[n-1] else fall_alpha
@@ -179,7 +192,7 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
     # realistic window-peak series (the naive "input rising" guess needs
     # 6-7)
     ag = jnp.sqrt(rise_alpha * fall_alpha)
-    xg = first_order_recurrence(1.0 - ag, ag * peak, x0)
+    xg = _solve(jnp.broadcast_to(1.0 - ag, peak.shape), ag * peak, x0, fast)
     pattern0 = peak > _shift1(xg, x0)
     # loop-invariant products hoisted: each round then costs two selects
     # + the associative solve instead of re-deriving alpha arrays
@@ -190,8 +203,8 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
 
     def body(carry):
         pattern, _, _, i = carry
-        x = first_order_recurrence(jnp.where(pattern, rise_c, fall_c),
-                                   jnp.where(pattern, rise_b, fall_b), x0)
+        x = _solve(jnp.where(pattern, rise_c, fall_c),
+                   jnp.where(pattern, rise_b, fall_b), x0, fast)
         prev = _shift1(x, x0)
         pattern_new = peak > prev
         # a pattern mismatch is harmless when the branch choice cannot
@@ -217,7 +230,8 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters):
     return x, valid
 
 
-def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
+def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters,
+                         fast=False):
     """Parallel solve of the hang-mode decay averager: rise fast while
     pk > d, then HOLD for hang_time samples, then release.  The branch
     pattern reduces to the rising flags alone: the hold window is
@@ -241,7 +255,7 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
         alpha = jnp.where(pattern, p.decay_rise_alpha,
                           jnp.where(hold, jnp.zeros_like(p.decay_fall_alpha),
                                     p.decay_fall_alpha))
-        d = first_order_recurrence(1.0 - alpha, alpha * peak, d0)
+        d = _solve(1.0 - alpha, alpha * peak, d0, fast)
         pattern_new = peak > _shift1(d, d0)
         valid = jnp.all(pattern_new == pattern, axis=-1)
         return pattern_new, d, dist, valid, i + 1
@@ -258,19 +272,21 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters):
 
 
 def _averager_parallel(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
-                       peak: jax.Array):
+                       peak: jax.Array, fast: bool = False):
     """Parallel (log-depth) averagers + per-solve convergence flags."""
     # two flat [N] solves, NOT one stacked [2, N] solve: the (2, N)
     # layout wastes 6/8 sublanes and measures 2x slower on v5e
     a, a_ok = _two_rate_parallel(p.attack_rise_alpha, p.attack_fall_alpha,
-                                 carry.attack_ave, peak, GUESS_ITERS)
+                                 carry.attack_ave, peak, GUESS_ITERS,
+                                 fast=fast)
     if cfg.use_hang:
         d, timer, d_ok = _hang_decay_parallel(p, carry.decay_ave,
                                               carry.hang_timer, peak,
-                                              GUESS_ITERS)
+                                              GUESS_ITERS, fast=fast)
     else:
         d, d_ok = _two_rate_parallel(p.decay_rise_alpha, p.decay_fall_alpha,
-                                     carry.decay_ave, peak, GUESS_ITERS)
+                                     carry.decay_ave, peak, GUESS_ITERS,
+                                     fast=fast)
         timer = carry.hang_timer
     magsel = jnp.maximum(a, d)
     return (a[..., -1], d[..., -1], timer, magsel), a_ok & d_ok
@@ -279,8 +295,9 @@ def _averager_parallel(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
 def _averager(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
               peak: jax.Array):
     """Averagers: parallel solve, exact sequential fallback on the rare
-    non-converged block (lax.cond — the scan only executes then)."""
-    par, valid = _averager_parallel(cfg, p, carry, peak)
+    non-converged block (lax.cond — the scan only executes then).
+    Single-stream entry point -> the Pallas scan fast path is legal."""
+    par, valid = _averager_parallel(cfg, p, carry, peak, fast=True)
     return lax.cond(valid, lambda _: par,
                     lambda _: _averager_scan(cfg, p, carry, peak), None)
 

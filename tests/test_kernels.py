@@ -280,3 +280,24 @@ def test_mixdec_wide_decimation_matches_xla(rng):
     assert got.shape == want.shape
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+
+
+def test_scan1_first_order_matches_xla():
+    """kernels/scan1 (Pallas first-order affine scan) equals the XLA
+    associative_scan across lengths incl. non-multiples of the row block;
+    the sublane/lane Hillis-Steele composition order and SMEM grid carry
+    are the things being checked."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.kernels.scan1 import first_order_scan
+    from cutesdr_tpu.ops.util import first_order_recurrence
+
+    rng = np.random.default_rng(0)
+    for n in (65536, 98304, 262144, 262144 - 1000):
+        a = jnp.asarray((0.99 + 0.005 * rng.random(n)).astype(np.float32))
+        b = jnp.asarray((rng.standard_normal(n) * 0.01).astype(np.float32))
+        want = first_order_recurrence(a, b, jnp.float32(-3.0))
+        got = first_order_scan(a, b, -3.0, interpret=True)
+        d = float(jnp.max(jnp.abs(got - want)))
+        assert d < 1e-5, (n, d)
