@@ -139,15 +139,16 @@ def make_variants(cfg):
             "full": jax.jit(full)}
 
 
-def run_budget(frames_per_block=256, k1=2, k2=8):
+def run_budget(frames_per_block=256, k1=2, k2=8,
+               input_rate=2_000_000.0, mode="usb", name="usb2m"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from cutesdr_tpu.pipeline import receiver as rx
 
-    cfg = rx.ReceiverConfig(input_rate=2_000_000.0, mode="usb",
-                            tune_freq=100_000.0, audio_rate=48000.0,
+    cfg = rx.ReceiverConfig(input_rate=input_rate, mode=mode,
+                            tune_freq=input_rate / 20.0, audio_rate=48000.0,
                             frames_per_block=frames_per_block)
     params, state = rx.init(cfg)
     rng = np.random.default_rng(7)
@@ -177,7 +178,7 @@ def run_budget(frames_per_block=256, k1=2, k2=8):
     }
     total = rows["full"]
     budget = {
-        "config": "stage_budget_usb2m",
+        "config": f"stage_budget_{name}",
         "frames_per_block": frames_per_block,
         "block": cfg.block_size,
         "fence": "d2h_slope",
@@ -197,11 +198,17 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--k1", type=int, default=2)
     ap.add_argument("--k2", type=int, default=8)
+    ap.add_argument("--rate", type=float, default=2_000_000.0)
+    ap.add_argument("--mode", default="usb")
+    ap.add_argument("--name", default=None,
+                    help="row suffix (default derived from rate/mode)")
     args = ap.parse_args(argv)
     _enable_compile_cache()
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    budget = run_budget(args.frames, args.k1, args.k2)
+    name = args.name or f"{args.mode}{args.rate / 1e6:g}m"
+    budget = run_budget(args.frames, args.k1, args.k2,
+                        input_rate=args.rate, mode=args.mode, name=name)
     print(json.dumps(budget))
     details_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAILS.json")
