@@ -301,3 +301,33 @@ def test_scan1_first_order_matches_xla():
         got = first_order_scan(a, b, -3.0, interpret=True)
         d = float(jnp.max(jnp.abs(got - want)))
         assert d < 1e-5, (n, d)
+
+
+def test_resamp1_matches_banded_resampler():
+    """kernels/resamp1 (fused span-DMA resampler — a tested reference
+    implementation, not the production path; see its STATUS note) equals
+    the XLA banded form in both table-truncation and exact-position
+    modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.kernels import resamp1
+    from cutesdr_tpu.ops import resampler as R
+
+    rate = 62500.0 / 48000.0
+    rng = np.random.default_rng(0)
+    n = 16384
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    for interp in (True, False):
+        p, c = R.init(rate, complex_input=True)
+        cap = R.max_out_for(n, rate)
+        _, y, nv = R.process(p, c, jnp.asarray(x), cap, interp=interp)
+        nv = int(nv)
+        t_int, t_frac = R._times(p, c.t0, jnp.arange(cap, dtype=jnp.float32))
+        z = jnp.concatenate([c.tail, jnp.asarray(x)])
+        yr, yi = resamp1.resample_band(z.real, z.imag, t_int, t_frac,
+                                       cap, 28, rate, interp,
+                                       interpret=True)
+        d = np.abs(np.asarray(yr + 1j * yi)[:nv] - np.asarray(y)[:nv])
+        assert d.max() < 1e-4, (interp, d.max())
