@@ -163,10 +163,10 @@ def run_budget(frames_per_block=256, k1=2, k2=8,
           file=sys.stderr)
 
     rows = {}
-    for name, step in make_variants(cfg).items():
+    for vname, step in make_variants(cfg).items():
         t = slope_time(step, params, state, re, im, k1, k2)
-        rows[name] = t
-        print(f"{name:>8}: {t * 1e3:8.3f} ms/step  "
+        rows[vname] = t
+        print(f"{vname:>8}: {t * 1e3:8.3f} ms/step  "
               f"({cfg.block_size / t / 1e6:8.1f} Msps)", file=sys.stderr)
 
     shares = {

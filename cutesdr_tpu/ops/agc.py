@@ -194,6 +194,27 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters,
     ag = jnp.sqrt(rise_alpha * fall_alpha)
     xg = _solve(jnp.broadcast_to(1.0 - ag, peak.shape), ag * peak, x0, fast)
     pattern0 = peak > _shift1(xg, x0)
+
+    if fast:
+        from cutesdr_tpu.kernels import scan1
+        if scan1.use_kernel(peak):
+            # fully-fused round: A/B selection, affine prefix solve,
+            # x[n-1] shift, pattern re-derivation and tie forgiveness all
+            # in ONE kernel call (kernels/scan1.guess_round) — replaces
+            # the ~8 XLA passes per round below with one pallas_call plus
+            # a scalar reduce
+            def body_k(carry):
+                pattern, _, _, i = carry
+                x, pattern_new, nmism = scan1.guess_round(
+                    peak, pattern, x0, rise_alpha, fall_alpha)
+                return pattern_new, x, nmism == 0, i + 1
+
+            carry0 = body_k((jnp.where(pattern0, 1.0, 0.0), xg,
+                             jnp.asarray(False), jnp.asarray(0)))
+            _, x, valid, _ = lax.while_loop(
+                lambda c: jnp.logical_not(c[2]) & (c[3] < n_iters),
+                body_k, carry0)
+            return x, valid
     # loop-invariant products hoisted: each round then costs two selects
     # + the associative solve instead of re-deriving alpha arrays
     rise_b = rise_alpha * peak

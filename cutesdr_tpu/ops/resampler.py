@@ -140,11 +140,11 @@ def _sinc_value(v: jax.Array, periods: int, interp: bool) -> jax.Array:
     return jnp.where(inside, w * s, jnp.zeros_like(vs))
 
 
-def _sinc_band(T: jax.Array, m: np.ndarray, periods: int,
-               interp: bool) -> jax.Array:
+def _sinc_band(Ti: jax.Array, tf: jax.Array, m: np.ndarray,
+               periods: int) -> jax.Array:
     """Windowed-sinc weights over a whole band: sv[..., m] = f(m - T[...])
-    with f as in _sinc_value, but evaluated SEPARABLY so the inner
-    [..., M] loop is pure multiply-add:
+    with T = Ti + tf and f as in _sinc_value, but evaluated SEPARABLY so
+    the inner [..., M] loop is pure multiply-add:
 
       * sin(pi*(v - P/2)) with v = m - T and integer m reduces to
         -(-1)^(m + round(T)) * sin(pi*(T - round(T))) — ONE well-reduced
@@ -156,27 +156,34 @@ def _sinc_band(T: jax.Array, m: np.ndarray, periods: int,
 
     ~10 transcendentals per OUTPUT instead of ~10 per (output, band)
     element: the weight evaluation drops from ~130M to ~2M transcendental
-    calls per flagship block.  ``interp=False`` quantizes T to the
-    10,000-pt grid first (v = m - Tq is then exactly the quantized tap
-    position, so truncating-table semantics are preserved)."""
-    rdtype = T.dtype
-    if not interp:
-        T = jnp.ceil(T * SINC_PERIOD_PTS) / SINC_PERIOD_PTS
+    calls per flagship block.
+
+    The position comes in EXACTLY DECOMPOSED — ``Ti`` int32 whole samples,
+    ``tf`` fractional in [0, 1) — and is never reassembled into one float:
+    row-aligned band bases push Ti to a few hundred, where the f32
+    representation of Ti + tf would round the tap position by ~1e-5 of a
+    period and cost ~10 dB against the reference binary's f64 table
+    (test_resampler_matches_reference_binary).  Integer arithmetic gives
+    the parity and the window phase exactly; the only float subtraction,
+    (m - P/2 - Ti) - tf, has an exact integer minuend.  Truncating-table
+    mode is the CALLER quantizing tf to the 10,000-pt grid first."""
+    rdtype = tf.dtype
     mf = m.astype(np.float64)
-    n_round = jnp.round(T)
-    r = T - n_round                                   # [-0.5, 0.5]
+    rf = jnp.round(tf)
+    r = tf - rf                                       # [-0.5, 0.5], exact
     sin_r = jnp.sin(np.float32(K_PI) * r)
     # numer(m) = sin(pi*(m - T - P/2)) = -(-1)^(m + n + P/2) * sin(pi*r)
-    # (P even; the extra (-1)^(P/2) matters when P/2 is odd, e.g. P=30) —
-    # parity handled as a sign outer product
+    # with n = round(T) = Ti + round(tf) (P even; the extra (-1)^(P/2)
+    # matters when P/2 is odd, e.g. P=30) — parity as a sign outer product
     assert periods % 2 == 0, "separable band form needs even periods"
-    par_T = 1.0 - 2.0 * jnp.mod(n_round, 2.0)         # (-1)^round(T)
+    n_round = Ti + rf.astype(jnp.int32)
+    par_T = (1 - 2 * (n_round % 2)).astype(rdtype)    # (-1)^round(T)
     sign_m = jnp.asarray(
         np.where((m + periods // 2) % 2 == 0, -1.0, 1.0), rdtype)
     numer = (par_T * sin_r)[..., None] * sign_m       # [..., M]
 
-    TP = jnp.mod(T, float(periods))
-    w = jnp.full(T.shape + (len(m),), _BH_COEFS[0], rdtype)
+    TP = (Ti % periods).astype(rdtype) + tf           # T mod P, exact
+    w = jnp.full(tf.shape + (len(m),), _BH_COEFS[0], rdtype)
     for kk in (1, 2, 3):
         a = ((-1.0) ** kk) * _BH_COEFS[kk]
         ang_m = 2.0 * np.pi * kk * mf / periods
@@ -186,10 +193,11 @@ def _sinc_band(T: jax.Array, m: np.ndarray, periods: int,
         w = w + a * (jnp.cos(ang_T)[..., None] * cm
                      + jnp.sin(ang_T)[..., None] * sm)
 
-    # (m - P/2) - T in ONE subtraction: forming v = m - T first and then
-    # subtracting P/2 double-rounds and loses ~3 decades of accuracy on
-    # the near-center (largest) taps
-    vc = jnp.asarray(m - periods // 2, rdtype) - T[..., None]
+    # (m - P/2 - Ti) - tf in ONE float subtraction from an exact integer
+    # minuend: reassembling T first (or subtracting P/2 after) double-
+    # rounds and loses ~3 decades of accuracy on the near-center taps
+    im = jnp.asarray(m - periods // 2, jnp.int32) - Ti[..., None]
+    vc = im.astype(rdtype) - tf[..., None]
     fi = np.float32(K_PI) * vc
     inside = (vc > -(periods / 2)) & (vc <= periods / 2)
     small = jnp.abs(fi) < 1e-4                        # sin(fi)/fi -> 1
@@ -234,16 +242,21 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     rdtype = params.dt_hi.dtype
 
     # banded chunked evaluation: C consecutive outputs share one M-sample
-    # input window, so the only gather is the [n_chunks, M] chunk windows
-    # (~50x fewer elements than the naive per-tap gather) and every tap
-    # weight is computed analytically in place (_sinc_value).  M is static,
+    # input window and every tap weight is computed analytically in place
+    # (_sinc_value/_sinc_band).  Chunk bases are rounded DOWN to a
+    # 128-lane row boundary so the window fetch is a gather of whole
+    # rows of the lane-major reshape — ~n_chunks·M/128 contiguous
+    # 128-wide slices instead of n_chunks·M single elements, which on
+    # TPU is ~19x faster (element gathers cost ~5 ns/element regardless
+    # of locality; the misalignment is absorbed by widening the
+    # coefficient band by one row, cheap on the VPU).  M is static,
     # sized for the nominal ratio implied by (n, max_out) plus the rate
-    # lock's ±0.2% swing.
+    # lock's ±0.2% swing plus the row-alignment slack.
     C = _CHUNK
     max_out_p = -(-max_out // C) * C
     n_chunks = max_out_p // C
     dt_max = 1.0062 * n / max(1.0, max_out - 5.0)
-    M = int(np.ceil(C * dt_max)) + periods + 4
+    M = int(np.ceil(C * dt_max)) + periods + 4 + 128
     M = -(-M // 128) * 128                       # lane-align the band
 
     k = jnp.arange(max_out_p, dtype=rdtype)
@@ -251,23 +264,51 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     valid = t_int[:max_out] < n
 
     z = jnp.concatenate([carry.tail, x], axis=-1)          # z[m] = x[m-P]
-    b0 = jnp.clip(t_int[::C], 0, None)                     # [n_chunks]
-    m = jnp.arange(M)
-    pos = jnp.clip(b0[:, None] + m[None, :], 0, z.shape[-1] - 1)
-    zc = z[..., pos]                                       # [n_chunks, M]
+    nrows = -(-z.shape[-1] // 128)
+    # edge-pad to whole rows: matches the old element-clip semantics for
+    # windows that run past the end (their outputs are invalid anyway)
+    zpad = jnp.concatenate(
+        [z, jnp.broadcast_to(z[..., -1:],
+                             z.shape[:-1] + (nrows * 128 - z.shape[-1],))],
+        axis=-1)
+    z2 = zpad.reshape(z.shape[:-1] + (nrows, 128))
+    b0 = (jnp.clip(t_int[::C], 0, None) // 128) * 128      # [n_chunks]
+    ridx = jnp.clip(b0[:, None] // 128 + jnp.arange(M // 128)[None, :],
+                    0, nrows - 1)                          # [nc, M/128]
+    zc = z2[..., ridx, :].reshape(                         # row gather
+        z.shape[:-1] + (n_chunks, M))
 
     idx_local = t_int.reshape(n_chunks, C) - b0[:, None]   # [nc, C]
     tf = t_frac.reshape(n_chunks, C)
+    if not interp:
+        # truncating-table semantics: quantize the position to the
+        # 10,000-pt grid ONCE per output (floor(v*PTS) with integer
+        # m - t_int is exactly -ceil(T*PTS), so one ceil covers every
+        # tap).  The decision is evaluated at the CHUNK-LOCAL offset
+        # (t_int - first t_int of the chunk, <= ~90), not the row-aligned
+        # band offset: the f32 product there sits within half an ulp
+        # (~0.03 grid units) of the f64 table index the reference binary
+        # computes, which is what keeps the grid DECISIONS aligned with
+        # the fixture (120 dB; deciding at the ~2e5-grid-unit band offset
+        # costs ~10 dB of decision flips,
+        # test_resampler_matches_reference_binary).
+        offs = (t_int.reshape(n_chunks, C)
+                - jnp.clip(t_int[::C], 0, None)[:, None]).astype(rdtype)
+        q = jnp.ceil((offs + tf) * SINC_PERIOD_PTS)
+        tf = (q - offs * SINC_PERIOD_PTS) / SINC_PERIOD_PTS
     # tap position v = m - T with T the output's local time; weight
     # nonzero only for v in (0, periods] — exactly the reference's 28
     # taps per output (separable evaluation, see _sinc_band; odd tap
     # counts fall back to the direct per-element closed form)
-    T = idx_local.astype(rdtype) + tf                      # [nc, C]
+    # the evaluators get the position exactly decomposed (int32 whole
+    # samples + fractional part, already grid-quantized when not interp)
+    # and run in exact mode — see _sinc_band's accuracy note
     if periods % 2 == 0:
-        sv = _sinc_band(T, np.arange(M), periods, interp)  # [nc, C, M]
+        sv = _sinc_band(idx_local, tf, np.arange(M), periods)  # [nc, C, M]
     else:
-        v = jnp.asarray(np.arange(M), rdtype) - T[..., None]
-        sv = _sinc_value(v, periods, interp)
+        v = (jnp.asarray(np.arange(M), jnp.int32)
+             - idx_local[..., None]).astype(rdtype) - tf[..., None]
+        sv = _sinc_value(v, periods, True)
 
     # VPU multiply+reduce (not an MXU dot: TPU f32 dots default to bf16
     # passes, which would cap the resampler's ~100 dB SINAD at ~40 dB)

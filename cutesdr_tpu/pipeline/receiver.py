@@ -513,7 +513,7 @@ def _levels(cfg: ReceiverConfig, params: ReceiverParams,
             state: ReceiverState, filt: jax.Array):
     """S-meter + AGC on the channel-filtered samples."""
     agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
-    sm_c, _ = smeter.process(params.smeter, state.smeter, filt)
+    sm_c, _ = smeter.process(params.smeter, state.smeter, filt, fast=True)
     agc_c, leveled = agc.process(agc_cfg, params.agc, state.agc, filt)
     return sm_c, agc_c, leveled
 

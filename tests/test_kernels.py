@@ -331,3 +331,68 @@ def test_resamp1_matches_banded_resampler():
                                        interpret=True)
         d = np.abs(np.asarray(yr + 1j * yi)[:nv] - np.asarray(y)[:nv])
         assert d.max() < 1e-4, (interp, d.max())
+
+
+def test_scan1_guess_round_matches_xla():
+    """kernels/scan1.guess_round (the fused AGC guess-verify round: A/B
+    select + affine prefix + x[n-1] shift + pattern re-derivation + tie
+    forgiveness in one kernel) matches the open-coded XLA round in
+    ops/agc._two_rate_parallel element for element, including the
+    mismatch count."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.kernels.scan1 import guess_round
+    from cutesdr_tpu.ops.util import first_order_recurrence
+
+    rng = np.random.default_rng(1)
+    ra, fa = np.float32(1 / 125.0), np.float32(1 / 312.0)
+    x0 = np.float32(-3.0)
+    for n in (65536, 262144 - 500):
+        pk = jnp.asarray(
+            (rng.standard_normal(n) * 0.3 - 3).astype(np.float32))
+        pat = jnp.asarray((rng.random(n) > 0.5).astype(np.float32))
+        patb = pat > 0.5
+        A = jnp.where(patb, 1.0 - ra, 1.0 - fa)
+        B = jnp.where(patb, ra, fa) * pk
+        x_ref = first_order_recurrence(A, B, x0)
+        prev = jnp.concatenate([jnp.asarray([x0]), x_ref[:-1]])
+        np_ref = pk > prev
+        sv = (1.0 - ra) * prev + ra * pk == (1.0 - fa) * prev + fa * pk
+        mism_ref = int(jnp.sum((np_ref != patb) & (pk != prev) & ~sv))
+
+        x_k, np_k, mi_k = guess_round(pk, pat, x0, ra, fa, interpret=True)
+        assert float(jnp.max(jnp.abs(x_k - x_ref))) < 1e-5
+        assert bool(jnp.all((np_k > 0.5) == np_ref))
+        # the forgiveness predicates (pk != prev, branch-update tie) are
+        # bit-sensitive to prev, and the kernel's prefix associates
+        # differently from associative_scan — a handful of near-tie
+        # elements may be classified differently.  That shifts only the
+        # ROUND COUNT of the caller's while_loop, never the fixed point.
+        assert abs(int(mi_k) - mism_ref) <= 4, (int(mi_k), mism_ref)
+
+
+def test_scan1_smeter_last_matches_xla():
+    """kernels/scan1.smeter_last (fused attack-EMA + snapped-decay pair,
+    final values only) matches the XLA associative-scan forms in
+    ops/smeter.process for both averagers across grid-carry boundaries
+    (two blocks of 256x128)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.kernels.scan1 import smeter_last, smeter_supported
+    from cutesdr_tpu.ops.util import ema, max_affine_recurrence
+
+    rng = np.random.default_rng(2)
+    n = 65536
+    assert smeter_supported(n)
+    mag = jnp.asarray((rng.standard_normal(n) * 10 - 60).astype(np.float32))
+    aa, ad = np.float32(1 / 625.0), np.float32(1 / 31250.0)
+    a0, d0 = np.float32(-120.0), np.float32(-120.0)
+
+    a_ref = ema(aa, mag, a0)
+    d_ref = max_affine_recurrence(1.0 - ad, ad * mag, a_ref, d0)
+    a_k, d_k = smeter_last(mag, aa, ad, a0, d0, interpret=True)
+    assert abs(float(a_ref[-1]) - float(a_k)) < 1e-3
+    assert abs(float(d_ref[-1]) - float(d_k)) < 1e-3
+    assert not smeter_supported(65536 + 128)  # no-padding contract

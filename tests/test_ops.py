@@ -346,14 +346,15 @@ def test_sinc_band_matches_direct_form_all_parities():
     from cutesdr_tpu.ops import resampler as R
     rng = np.random.default_rng(0)
     m = np.arange(128)
-    T = jnp.asarray((rng.random(256) * 60).astype(np.float32))
+    Ti = jnp.asarray(rng.integers(0, 60, 256).astype(np.int32))
+    tf = jnp.asarray(rng.random(256).astype(np.float32))
     for P in (28, 30, 32, 48):
-        for interp in (False, True):
-            sb = R._sinc_band(T, m, P, interp)
-            sv = R._sinc_value(jnp.asarray(m, jnp.float32) - T[:, None],
-                               P, interp)
-            d = float(jnp.max(jnp.abs(sb - sv)))
-            assert d < 2e-4, (P, interp, d)
+        sb = R._sinc_band(Ti, tf, m, P)
+        v = (jnp.asarray(m, jnp.int32) - Ti[:, None]).astype(jnp.float32) \
+            - tf[:, None]
+        sv = R._sinc_value(v, P, True)
+        d = float(jnp.max(jnp.abs(sb - sv)))
+        assert d < 2e-4, (P, d)
     # odd periods route through the fallback and still resample
     p, c = R.init(62500 / 48000, periods=29)
     x = (1000 * np.exp(2j * np.pi * 1000 * np.arange(4096) / 62500)
