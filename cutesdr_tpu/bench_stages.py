@@ -97,12 +97,13 @@ def make_variants(cfg):
     def mixdec_only(p, s, re, im):
         # the front end minus the channel filter: production dispatches on
         # cfg.decimator_impl exactly as rx._front does
-        iq = jax.lax.complex(re, im) - p.dc_offset
         if cfg.decimator_impl == "pallas":
-            dec_c, base = rx._make_mixdec(cfg)(p.dec, s.dec, iq)
+            dec_c, base = rx._make_mixdec(cfg).process_planes(
+                p.dec, s.dec, re, im, p.dc_offset)
             ns = s._replace(dec=dec_c)
         else:
             from cutesdr_tpu.ops import decimator, nco
+            iq = jax.lax.complex(re, im) - p.dc_offset
             nco_c, mixed = nco.process(p.nco, s.nco, iq)
             if cfg.decimator_impl == "fused":
                 dec_c, base = decimator.fused_process(cfg.plan, p.dec,

@@ -53,17 +53,105 @@ from cutesdr_tpu.ops import decimator as dec_ops
 from cutesdr_tpu.types import K_2PI, complex_zeros
 
 _TWO32 = 4294967296.0
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
 LANE = 128
+
+
+def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
+             *, TO4, R, C, halo_rows, lane, wide_cols, m_rows,
+             base_off=0):
+    """Shared mix+decimate body on a filled [m_rows, lane] scratch pair.
+    zr/zi hold z rows [i*TO4, i*TO4 + m_rows) of the tail||input stream;
+    dcr/dci is the NCO-spur DC cal subtracted in place (free against the
+    oscillator multiply)."""
+    # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*lane + q, so the
+    # DDS phase splits exactly (uint32 wraparound algebra) into a per-ROW
+    # part and a per-LANE part, and the oscillator is the outer product
+    #   e^{j phi(m,q)} = e^{j phi_m(m)} * e^{j phi_q(q)}
+    # — cos/sin on m_rows + lane angles instead of m_rows*lane (~170x
+    # fewer transcendentals; the per-sample form was the kernel's single
+    # largest compute term).  The angle-addition expansion below is exact;
+    # the f32 products of unit phasors round at ~1e-7.
+    m_col = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, 1), 0)
+    q_row = jax.lax.broadcasted_iota(jnp.uint32, (1, lane), 1)
+    acc_m = base + ((jnp.uint32(i * TO4) + m_col - jnp.uint32(halo_rows))
+                    * (jnp.uint32(lane) * inc))
+    acc_q = q_row * inc
+    # Mosaic can't cast uint32->f32; reinterpret as int32, which maps
+    # the phase to [-pi, pi) — identical modulo 2*pi
+    scale = jnp.float32(K_2PI / _TWO32)
+    ang_m = pltpu.bitcast(acc_m, jnp.int32).astype(jnp.float32) * scale
+    ang_q = pltpu.bitcast(acc_q, jnp.int32).astype(jnp.float32) * scale
+    cm, sm = jnp.cos(ang_m), jnp.sin(ang_m)      # [m_rows, 1]
+    cq, sq = jnp.cos(ang_q), jnp.sin(ang_q)      # [1, lane]
+    osc_re = cm * cq - sm * sq
+    osc_im = cm * sq + sm * cq
+
+    zr = zr - dcr
+    zi = zi - dci
+    mre = zr * osc_re - zi * osc_im
+    mim = zr * osc_im + zi * osc_re
+
+    # precision=HIGHEST: TPU f32 dots default to ONE bf16 pass
+    # (preferred_element_type only sets the accumulator), which costs
+    # ~1.4e-4 relative on the decimated stream (-77 dB, measured
+    # on-chip at D=256) — the same floor fastfir4's _cmatmul hit
+    pre = jnp.dot(mre, w4, preferred_element_type=jnp.float32,
+                  precision=_DOT_PRECISION)
+    pim = jnp.dot(mim, w4, preferred_element_type=jnp.float32,
+                  precision=_DOT_PRECISION)
+
+    if wide_cols:
+        # wide-row (R=1) band sum without column extraction: tap band
+        # c lives in column (C-1-c) of the 128-padded matrix, so
+        # up-rolling column col by u = C-1-col sublanes aligns every
+        # band's diagonal pre[m+c, col] onto row m, and one lane
+        # reduction replaces the C strided column slices that made
+        # this form ~16x off roofline at 20 MSPS.  The per-column
+        # up-shift is applied as its binary decomposition — masked
+        # UNIFORM sublane rolls (Mosaic has no minor-dim stride
+        # rolls); wrapped-in bottom rows only ever land at
+        # m >= m_rows-C+1 >= TO4, outside the emitted window.
+        col = jax.lax.broadcasted_iota(jnp.int32, (m_rows, wide_cols), 1)
+        # base_off: the DMA halo is 8-row aligned but the tap matrix is
+        # built from the unaligned halo — every band's diagonal starts
+        # base_off rows later in the scratch (see __init__)
+        u = jnp.maximum(base_off + C - 1 - col, 0)
+        b = 0
+        while (1 << b) < base_off + C:
+            sft = 1 << b
+            take = (u & sft) != 0
+            pre = jnp.where(take, pltpu.roll(pre, shift=m_rows - sft,
+                                             axis=0), pre)
+            pim = jnp.where(take, pltpu.roll(pim, shift=m_rows - sft,
+                                             axis=0), pim)
+            b += 1
+        acc_re = jnp.sum(pre, axis=1, keepdims=True)   # [m_rows, 1]
+        acc_im = jnp.sum(pim, axis=1, keepdims=True)
+        y_ref[0, :] = jnp.transpose(acc_re[:TO4])[0, :]
+        y_ref[1, :] = jnp.transpose(acc_im[:TO4])[0, :]
+    else:
+        for r in range(R):           # y[R n' + r] = sum_c P[n' + c, R c + r]
+            acc_re = jnp.zeros((TO4,), jnp.float32)
+            acc_im = jnp.zeros((TO4,), jnp.float32)
+            for c in range(C):
+                acc_re = acc_re + pre[base_off + c:base_off + c + TO4,
+                                      R * c + r]
+                acc_im = acc_im + pim[base_off + c:base_off + c + TO4,
+                                      R * c + r]
+            y_ref[r, :] = acc_re
+            y_ref[R + r, :] = acc_im
 
 
 def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
             z_re_ref, z_im_ref,     # ANY: [rows, lane] raw stream views
             w4_ref,                 # VMEM [lane, R*C] residue tap matrix
             y_ref,                  # VMEM out [2R, TO4]
-            *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE):
+            *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE,
+            wide_cols: int = 0, base_off: int = 0):
     # VMEM scratch rows must be 8-aligned (Mosaic tiling); the extra rows
     # read zero padding and feed matmul rows that are never summed
-    m_rows = -(-(TO4 + C - 1) // 8) * 8
+    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
     i = pl.program_id(0)
 
     def body(zr_s, zi_s, sem):
@@ -74,41 +162,12 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
                                     zi_s, sem.at[1])
         cp1.start()
         cp2.start()
-
-        base = scalars_ref[0]
-        inc = scalars_ref[1]
-        # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*lane + q
-        m_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, lane), 0)
-        q_ids = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, lane), 1)
-        offs = ((jnp.uint32(i * TO4) + m_ids - jnp.uint32(halo_rows))
-                * jnp.uint32(lane) + q_ids)
-        acc = base + offs * inc
-        # Mosaic can't cast uint32->f32; reinterpret as int32, which maps
-        # the phase to [-pi, pi) — identical modulo 2*pi
-        ang = (pltpu.bitcast(acc, jnp.int32).astype(jnp.float32)
-               * jnp.float32(K_2PI / _TWO32))
-        osc_re = jnp.cos(ang)
-        osc_im = jnp.sin(ang)
-
         cp1.wait()
         cp2.wait()
-        zr = zr_s[:]
-        zi = zi_s[:]
-        mre = zr * osc_re - zi * osc_im
-        mim = zr * osc_im + zi * osc_re
-
-        w4 = w4_ref[:]
-        pre = jnp.dot(mre, w4, preferred_element_type=jnp.float32)
-        pim = jnp.dot(mim, w4, preferred_element_type=jnp.float32)
-
-        for r in range(R):           # y[R n' + r] = sum_c P[n' + c, R c + r]
-            acc_re = jnp.zeros((TO4,), jnp.float32)
-            acc_im = jnp.zeros((TO4,), jnp.float32)
-            for c in range(C):
-                acc_re = acc_re + pre[c:c + TO4, R * c + r]
-                acc_im = acc_im + pim[c:c + TO4, R * c + r]
-            y_ref[r, :] = acc_re
-            y_ref[R + r, :] = acc_im
+        _compute(i, scalars_ref[0], scalars_ref[1], zr_s[:], zi_s[:],
+                 jnp.float32(0.0), jnp.float32(0.0), w4_ref[:], y_ref,
+                 TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
+                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off)
 
     pl.run_scoped(
         body,
@@ -116,6 +175,130 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
         pltpu.VMEM((m_rows, lane), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
+
+
+def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
+                   dc_ref,          # scalar prefetch: [dc_re, dc_im] f32
+                   t_re_ref, t_im_ref,   # VMEM [halo_rows, lane] tail rows
+                   x_re_ref, x_im_ref,   # ANY [rows_x, lane] raw input views
+                   w4_ref,               # VMEM [lane, R*C or 128]
+                   y_ref,                # VMEM out [2R, TO4]
+                   zr0, zi0, zr1, zi1,   # persistent VMEM window buffers
+                   sem,                  # DMA sems [slot, plane]
+                   *, TO4: int, R: int, C: int, halo_rows: int,
+                   lane: int, wide_cols: int, rows_x: int,
+                   base_off: int = 0):
+    """Plane-native, double-buffered variant: the carried raw tail
+    arrives as its OWN small buffer and the block input as the session's
+    re/im f32 planes, so the caller materializes NO concatenated/split
+    copy of the wideband stream (at 20 MSPS those copies were ~3x the
+    kernel's own HBM traffic).  Window DMAs are double-buffered across
+    the sequential grid — step i waits the copy issued at step i-1 and
+    prefetches tile i+1 while computing — hiding the HBM fetch behind
+    the mix/matmul (measured 1.6x at 67M blocks; a run_scoped
+    DMA-then-compute version ran serialized).  Buffers are FOUR separate
+    scratch refs with even/odd pl.when branches: Mosaic has no dynamic
+    leading-dim indexing in-kernel.  Dynamic DMA row starts
+    (i*TO4 - halo_rows) stay on the (8, 128) tile grid because the
+    wrapper rounds halo_rows up to 8 (pl.multiple_of carries the proof);
+    windows past either end of the input are clamped and zero-filled
+    (those rows only feed matmul rows that are never emitted)."""
+    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
+    i = pl.program_id(0)
+    n_tiles = rows_x // TO4
+    assert halo_rows % 8 == 0 and TO4 % 8 == 0
+    assert TO4 >= halo_rows > 0, (TO4, halo_rows)
+    # overrun of the LAST tile's window past the input end (static)
+    over = max(0, (n_tiles - 1) * TO4 - halo_rows + m_rows - rows_x)
+    head_keep = min(m_rows - halo_rows, rows_x)
+
+    def copies(j, zr_s, zi_s, slot, phase):
+        """Issue (phase='start') or await (phase='wait') tile j's window
+        DMAs into the given buffer pair.  Waiting reconstructs the same
+        descriptors — the TPU DMA semaphore tracks bytes, so wait() on an
+        identical copy object consumes exactly the started transfer."""
+        def go(cps):
+            for c in cps:
+                (c.start if phase == "start" else c.wait)()
+
+        def head():
+            if phase == "start" and head_keep < m_rows - halo_rows:
+                zr_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
+                zi_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
+            go([pltpu.make_async_copy(t_re_ref,
+                                      zr_s.at[pl.ds(0, halo_rows)],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(t_im_ref,
+                                      zi_s.at[pl.ds(0, halo_rows)],
+                                      sem.at[slot, 1])])
+            go([pltpu.make_async_copy(
+                    x_re_ref.at[pl.ds(0, head_keep)],
+                    zr_s.at[pl.ds(halo_rows, head_keep)], sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    x_im_ref.at[pl.ds(0, head_keep)],
+                    zi_s.at[pl.ds(halo_rows, head_keep)], sem.at[slot, 1])])
+
+        if n_tiles == 1:
+            head()
+            return
+
+        @pl.when(j == 0)
+        def _():
+            head()
+
+        @pl.when((j > 0) & (j < n_tiles - 1))
+        def _():
+            row0 = pl.multiple_of(j * TO4 - halo_rows, 8)
+            go([pltpu.make_async_copy(x_re_ref.at[pl.ds(row0, m_rows)],
+                                      zr_s, sem.at[slot, 0]),
+                pltpu.make_async_copy(x_im_ref.at[pl.ds(row0, m_rows)],
+                                      zi_s, sem.at[slot, 1])])
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            if phase == "start" and over:
+                zr_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
+                zi_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
+            row0 = pl.multiple_of(j * TO4 - halo_rows, 8)
+            keep = m_rows - over
+            go([pltpu.make_async_copy(x_re_ref.at[pl.ds(row0, keep)],
+                                      zr_s.at[pl.ds(0, keep)],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(x_im_ref.at[pl.ds(row0, keep)],
+                                      zi_s.at[pl.ds(0, keep)],
+                                      sem.at[slot, 1])])
+
+    @pl.when(i == 0)
+    def _():
+        copies(i, zr0, zi0, 0, "start")
+
+    nxt = i + 1
+    if n_tiles > 1:
+        @pl.when((nxt < n_tiles) & (nxt % 2 == 0))
+        def _():
+            copies(nxt, zr0, zi0, 0, "start")
+
+        @pl.when((nxt < n_tiles) & (nxt % 2 == 1))
+        def _():
+            copies(nxt, zr1, zi1, 1, "start")
+
+    def finish(zr_s, zi_s, slot):
+        copies(i, zr_s, zi_s, slot, "wait")
+        _compute(i, scalars_ref[0], scalars_ref[1], zr_s[:], zi_s[:],
+                 dc_ref[0], dc_ref[1], w4_ref[:], y_ref,
+                 TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
+                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off)
+
+    if n_tiles == 1:
+        finish(zr0, zi0, 0)
+    else:
+        @pl.when(i % 2 == 0)
+        def _():
+            finish(zr0, zi0, 0)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            finish(zr1, zi1, 1)
 
 
 class MixDecParams(NamedTuple):
@@ -140,7 +323,8 @@ class MixDecimate:
     R = 1, same diagonal-band matmul)."""
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
-                 tile_out: int = 512, interpret: bool = False):
+                 tile_out: int = 512, interpret: bool = False,
+                 wide: bool = True):
         from cutesdr_tpu.ops import nco as nco_ops
 
         self.plan = plan
@@ -158,10 +342,19 @@ class MixDecimate:
         h = np.asarray(plan.composed_taps())[::-1]       # flipped (corr form)
         d = dec_ops.total_offset(plan)
         L = len(h)
-        # raw history needed: L-1-d samples, rounded up to whole lane rows
-        self.halo_rows = int(np.ceil((L - 1 - d) / lane))
-        halo = self.halo_rows * lane
-        shift = halo - (L - 1 - d)
+        # raw history needed: L-1-d samples, rounded up to whole lane
+        # rows; the DMA halo is that rounded up to a multiple of 8 rows
+        # so the plane-native kernel's dynamic DMA starts
+        # (i*TO4 - halo_rows) stay on the Mosaic (8, 128) tile grid.
+        # The tap matrix is built from the UNALIGNED halo and the kernel
+        # offsets its band slices by base_off rows instead — folding the
+        # alignment into the taps would widen C by up to 7 columns and
+        # triple the matmul for small-C plans (measured: the x32
+        # flagship's mixdec went 0.56 -> 1.0 ms before this split).
+        halo_orig = int(np.ceil((L - 1 - d) / lane))
+        self.halo_rows = -(-halo_orig // 8) * 8
+        self.base_off = self.halo_rows - halo_orig
+        shift = halo_orig * lane - (L - 1 - d)
         # padded window taps: y[n] = sum_j w_pad[j] z[n*D + j] over
         # z = [tail(halo), x]
         w_len = shift + L
@@ -179,6 +372,15 @@ class MixDecimate:
                 hi = min(lane, q0 + w_len)
                 if lo < hi:
                     w4[lo:hi, self.R * c + r] = w_pad[lo - q0:hi - q0]
+        # wide-row fast form (see _kernel's wide_cols branch): tap bands
+        # reversed into a 128-padded column space so ONE stride-roll +
+        # lane reduction does the band-diagonal sum
+        self.wide_cols = 0
+        if wide and self.R == 1 and self.C <= LANE:
+            w4w = np.zeros((lane, LANE))
+            w4w[:, :self.C] = w4[:, ::-1]
+            w4 = w4w
+            self.wide_cols = LANE
         self.w4 = w4
         if tile_out % self.R:
             raise ValueError(f"tile_out must be a multiple of {self.R}")
@@ -216,8 +418,8 @@ class MixDecimate:
         z = jnp.concatenate([carry.raw_tail, x])
         new_tail = z[z.shape[-1] - self.halo:]
         # pad right so the last tile's 8-aligned window exists
-        m_rows = TO4 + C - 1
-        pad_rows = (C - 1) + (-(-m_rows // 8) * 8 - m_rows)
+        m_rows = TO4 + C - 1 + self.base_off
+        pad_rows = (C - 1 + self.base_off) + (-(-m_rows // 8) * 8 - m_rows)
         zp = jnp.concatenate([z, jnp.zeros(pad_rows * lane, z.dtype)])
         scalars = jnp.stack([carry.phase_base, params.phase_inc])
         rows = zp.shape[-1] // lane
@@ -225,7 +427,9 @@ class MixDecimate:
         z_im = zp.imag.reshape(rows, lane)
 
         kernel = functools.partial(_kernel, TO4=TO4, R=R, C=C,
-                                   halo_rows=self.halo_rows, lane=lane)
+                                   halo_rows=self.halo_rows, lane=lane,
+                                   wide_cols=self.wide_cols,
+                                   base_off=self.base_off)
         y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -247,6 +451,79 @@ class MixDecimate:
         y_re = y4[:R].T.reshape(-1)
         y_im = y4[R:].T.reshape(-1)
         y = jax.lax.complex(y_re, y_im)
+        new_carry = MixDecCarry(
+            raw_tail=new_tail,
+            phase_base=carry.phase_base + jnp.uint32(n) * params.phase_inc)
+        return new_carry, y
+
+    def process_planes(self, params: MixDecParams, carry: MixDecCarry,
+                       re: jax.Array, im: jax.Array,
+                       dc_offset: jax.Array
+                       ) -> tuple[MixDecCarry, jax.Array]:
+        """Plane-native step: consumes the block as separate f32 re/im
+        planes plus the complex NCO-spur DC offset, fusing the DC cal
+        into the kernel and DMA-ing the carried tail from its own small
+        buffer — zero wideband copies on the XLA side (__call__'s
+        tail-concat + pad + re/im split cost ~3x the kernel's own HBM
+        traffic at 20 MSPS).  Carry layout is identical to __call__."""
+        n = re.shape[-1]
+        TO4, R, C, lane = self.TO4, self.R, self.C, self.lane
+        if TO4 < self.halo_rows or self.halo_rows == 0:
+            # tile too short for the one-branch tail DMA (only reachable
+            # with tiny test tiles): take the concat path, DC applied up
+            # front (tail then carries DC-removed samples, same as
+            # __call__ callers)
+            return self(params, carry,
+                        jax.lax.complex(re, im) - dc_offset.astype(
+                            jax.lax.complex(re, im).dtype))
+        samples_per_tile = TO4 * lane
+        if n % samples_per_tile:
+            raise ValueError(f"block {n} not a multiple of {samples_per_tile}")
+        n_tiles = n // samples_per_tile
+        rows_x = n // lane
+        scalars = jnp.stack([carry.phase_base, params.phase_inc])
+        dc = jnp.stack([jnp.real(dc_offset).astype(jnp.float32),
+                        jnp.imag(dc_offset).astype(jnp.float32)])
+        t2 = carry.raw_tail.reshape(self.halo_rows, lane) \
+            if self.halo_rows else carry.raw_tail.reshape(0, lane)
+        x_re = re.reshape(rows_x, lane)
+        x_im = im.reshape(rows_x, lane)
+
+        m_rows = -(-(TO4 + C - 1 + self.base_off) // 8) * 8
+        kernel = functools.partial(_kernel_planes, TO4=TO4, R=R, C=C,
+                                   halo_rows=self.halo_rows, lane=lane,
+                                   wide_cols=self.wide_cols, rows_x=rows_x,
+                                   base_off=self.base_off)
+        buf = pltpu.VMEM((m_rows, lane), jnp.float32)
+        y4 = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((2 * R, TO4), lambda i, s1, s2: (0, i)),
+                scratch_shapes=[buf, buf, buf, buf,
+                                pltpu.SemaphoreType.DMA((2, 2))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((2 * R, n_tiles * TO4),
+                                           jnp.float32),
+            interpret=self.interpret,
+        )(scalars, dc, t2.real.astype(jnp.float32),
+          t2.imag.astype(jnp.float32), x_re, x_im, params.w4)
+
+        y_re = y4[:R].T.reshape(-1)
+        y_im = y4[R:].T.reshape(-1)
+        y = jax.lax.complex(y_re, y_im)
+        # new tail: last halo samples of the raw (pre-DC-cal) input
+        h = self.halo
+        new_tail = jax.lax.complex(re[n - h:], im[n - h:]) if h else \
+            carry.raw_tail
         new_carry = MixDecCarry(
             raw_tail=new_tail,
             phase_base=carry.phase_base + jnp.uint32(n) * params.phase_inc)

@@ -57,15 +57,15 @@ def locked_loop_kernel(alpha: float, beta: float, tol: float = 1e-12,
 def _conv_causal(u: jax.Array, k: jax.Array, n: int) -> jax.Array:
     """First n samples of the full 1-D convolution u*k.
 
-    Long kernels take the FFT form: XLA:TPU compile time for direct
-    mid-size 1-D convolutions is pathological (measured r3: SAM's ~1900-tap
-    locked-loop kernel pushed a single demod compile past 260 s; the FFT
-    form compiles in seconds and is numerically equivalent at solver
-    tolerances).  Short kernels keep the direct form (cheaper at runtime,
-    compiles fine)."""
+    Always the FFT form.  The direct form is doubly poisoned on XLA:TPU:
+    compile time for mid-size 1-D convolutions is pathological (measured
+    r3: SAM's ~1900-tap locked-loop kernel pushed a single demod compile
+    past 260 s), and f32 convs execute as ONE bf16 MXU pass (-53 dB,
+    measured r4 — fatal for a loop kernel) while requesting
+    precision=HIGHEST re-triggers the compile blowup even at <=256 taps
+    (fm-st-nb sweep config: 10 s -> 152 s).  The FFT form has neither
+    problem and is numerically equivalent at solver tolerances."""
     d = k.shape[-1]
-    if d <= 256:
-        return jnp.convolve(u, k)[:n]
     L = 1 << int(np.ceil(np.log2(n + d - 1)))
     out = jnp.fft.irfft(jnp.fft.rfft(u, L) * jnp.fft.rfft(k, L), L)
     return out[:n].astype(u.dtype)

@@ -23,10 +23,28 @@ def strided_corr(z: jax.Array, taps: jax.Array, stride: int = 1,
     accumulating in float32 (the MXU's native mode) — halves the HBM traffic
     of the wideband front end at a measured ~50 dB quantization-SNR floor
     (see tests/test_numerics_parity.py::test_bf16_front_end_snr).
+
+    The default (f32) path pins ``precision=HIGHEST``: XLA:TPU otherwise
+    runs f32 convs as ONE bf16 MXU pass, measured 2.2e-3 relative (-53 dB)
+    on the x256 decimation chain against an f64 oracle — invisible to the
+    CPU test suite, caught by the on-chip mixdec cross-check.  bf16 is
+    available only through the explicit ``compute_dtype`` opt-in.
+
+    Small stride-1 kernels (<= 128 taps: the audio-rate FIRs) use an
+    unrolled shift-multiply-add instead — exact f32 on the VPU with no
+    MXU pass at all, because requesting HIGHEST on small direct convs
+    re-triggers the XLA:TPU compile-time blowup (fm-st-nb sweep config:
+    10 s -> 156 s with the conv, <1 s with the shift-add).
     """
     L = taps.shape[0]
     if offset:
         z = z[..., offset:]
+    if compute_dtype is None and stride == 1 and L <= 128:
+        M = z.shape[-1] - L + 1
+        y = taps[0] * z[..., 0:M]
+        for j in range(1, L):
+            y = y + taps[j] * z[..., j:j + M]
+        return y.astype(z.dtype)
     batch_shape = z.shape[:-1]
     t = z.shape[-1]
     out_dtype = z.dtype
@@ -38,7 +56,8 @@ def strided_corr(z: jax.Array, taps: jax.Array, stride: int = 1,
     y = lax.conv_general_dilated(
         zb, k, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=jnp.float32 if compute_dtype is not None else None)
+        preferred_element_type=jnp.float32 if compute_dtype is not None else None,
+        precision=None if compute_dtype is not None else lax.Precision.HIGHEST)
     return y.reshape(batch_shape + (y.shape[-1],)).astype(out_dtype)
 
 

@@ -575,14 +575,20 @@ def _front(cfg: ReceiverConfig, params: ReceiverParams,
     else:
         nb_c = state.blanker
 
-    iq = iq - params.dc_offset            # NCO-spur DC cal
-
     if cfg.decimator_impl == "pallas":
         # fused NCO-mix + polyphase decimation in one Pallas kernel; the
-        # NCO params/carry are unused (phase lives in the kernel carry)
+        # NCO params/carry are unused (phase lives in the kernel carry).
+        # Plane-native entry: the DC cal rides inside the kernel and the
+        # re/im extraction fuses into the caller's lax.complex, so the
+        # wideband stream is never copied on the XLA side (the old
+        # concat+split glue cost ~3x the kernel's own HBM traffic at
+        # 20 MSPS).
         nco_c = state.nco
-        dec_c, base = _make_mixdec(cfg)(params.dec, state.dec, iq)
+        dec_c, base = _make_mixdec(cfg).process_planes(
+            params.dec, state.dec, jnp.real(iq), jnp.imag(iq),
+            params.dc_offset)
     else:
+        iq = iq - params.dc_offset        # NCO-spur DC cal
         nco_c, mixed = nco.process(params.nco, state.nco, iq)
         if cfg.decimator_impl == "fused":
             cdt = jnp.bfloat16 if cfg.front_dtype == "bf16" else None

@@ -396,3 +396,44 @@ def test_scan1_smeter_last_matches_xla():
     assert abs(float(a_ref[-1]) - float(a_k)) < 1e-3
     assert abs(float(d_ref[-1]) - float(d_k)) < 1e-3
     assert not smeter_supported(65536 + 128)  # no-padding contract
+
+
+def test_mixdec_process_planes_matches_call(rng):
+    """The plane-native mixdec entry (separate re/im planes, in-kernel DC
+    cal and tail DMA — the production receiver path) equals __call__ with
+    the DC offset pre-subtracted, for both the R>1 and the wide-row R=1
+    forms, across a carry boundary."""
+    from cutesdr_tpu.design.decimation_plan import plan_decimation
+
+    for in_rate, to in ((2_000_000.0, 512), (16_000_000.0, 64)):
+        plan = plan_decimation(in_rate, 20_000.0)
+        tune = in_rate / 17.0
+        md = MixDecimate(plan, tune, tile_out=to, interpret=True)
+        spt = md.TO4 * md.lane
+        n = spt * 2
+        x = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+             * 100).astype(np.complex64)
+        dc = np.complex64(0.37 - 0.21j)
+
+        c1 = md.init_carry()
+        c2 = md.init_carry()
+        got, want = [], []
+        for b in np.split(x, 2):
+            xb = jnp.asarray(b)
+            c1, y1 = md.process_planes(md.params, c1, xb.real, xb.imag,
+                                       jnp.asarray(dc))
+            c2, y2 = md(md.params, c2, xb - dc)
+            got.append(np.asarray(y1))
+            want.append(np.asarray(y2))
+        got, want = np.concatenate(got), np.concatenate(want)
+        scale = np.abs(want).max()
+        # the tail carried by process_planes is raw (pre-DC); __call__'s is
+        # DC-removed — the second block's first outputs differ by the DC
+        # response of the composed filter, bounded by |dc|*sum|h|
+        h = np.abs(np.asarray(plan.composed_taps())).sum()
+        tol = 5e-5 * scale + np.abs(dc) * h
+        d = np.abs(got - want)
+        # all but the tail-affected outputs must match tightly
+        n_tail_outputs = -(-md.halo * 2 // plan.decimation)
+        assert d[n_tail_outputs:len(d) // 2].max() < 5e-5 * scale
+        assert d[len(d) // 2 + n_tail_outputs:].max() < 5e-5 * scale
