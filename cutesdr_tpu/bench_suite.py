@@ -381,9 +381,11 @@ def main(argv=None):
                                                  audio_rate=48000.0,
                                                  frames_per_block=16),
             args.iters,
-            extras={"note": "white-noise input = unlocked-PLL worst case "
-                            "(sequential-scan fallback every block); see "
-                            "fm_locked_2msps for the locked path"}),
+            extras={"note": "white-noise input = unlocked-PLL worst case; "
+                            "every block takes the chunked guess-verify "
+                            "scan tier (demod/fm._pll_chunked — bitwise-"
+                            "exact, 14x the r4 sequential fallback); see "
+                            "fm_locked_2msps for the locked linear path"}),
         10: lambda: _bench_fm_locked(args.iters),
         4: lambda: bench_channel_bank(args.iters),
         5: lambda: bench_receiver_cfg(

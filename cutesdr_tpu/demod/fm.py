@@ -183,6 +183,42 @@ def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
     return jnp.mod(phase, K_2PI), freq, dc, audio, err
 
 
+PLL_CHUNK = 128
+PLL_HALO = 128
+
+
+def _chunkable(n: int) -> bool:
+    """Host-side static gate for the chunked guess-verify scan tier."""
+    return n % PLL_CHUNK == 0 and n // PLL_CHUNK >= 4
+
+
+def _pll_chunked(params: FmParams, carry: FmCarry, theta: jax.Array):
+    """Guess-verify parallel evaluation of the *unlocked* loop
+    (ops/pll.chunked_scan): the exact sequential recurrence — wrap and
+    clamp included — evaluated as C concurrent chunk scans with warmup
+    halos and a bitwise boundary check.  The clipped loop re-synchronizes
+    from any state within ~40 samples (clamp rails restore freq exactly;
+    phase error contracts by 1-alpha), so the check passes on noise —
+    the worst case that previously forced the full sequential scan every
+    block (dsp/fmdemod.cpp:62-89 is the per-sample serial reference).
+    The DC tracker does not feed back into the loop, so it is solved
+    afterwards in parallel (ema), like the linear path."""
+    def step(state, th):
+        phase, freq = state
+        err = -_wrap_pi(th + phase)
+        freq = jnp.clip(freq + params.pll_beta * err,
+                        -params.nco_limit, params.nco_limit)
+        phase = _wrap_pi(phase + freq + params.pll_alpha * err)
+        return (phase, freq), (freq, err)
+
+    init = (carry.nco_phase, carry.nco_freq)
+    valid, (freqs, errs), (phase, freq) = pll.chunked_scan(
+        step, init, init, theta, PLL_CHUNK, PLL_HALO)
+    dcs = ema(params.dc_alpha, freqs, carry.freq_error_dc)
+    audio = (freqs - dcs) * params.out_gain
+    return valid, (jnp.mod(phase, K_2PI), freq, dcs[-1], audio, errs)
+
+
 def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
     """Parallel solve of the locked (wrap/clip-free) loop — see module
     docstring for the derivation — plus the validity flag telling whether
@@ -203,10 +239,20 @@ def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
 def _pll(params: FmParams, carry: FmCarry, x: jax.Array):
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = _pll_linear(params, carry, theta)
-    return lax.cond(valid,
-                    lambda _: linear,
-                    lambda _: _pll_scan(params, carry, theta),
-                    None)
+    if not _chunkable(theta.shape[-1]):
+        return lax.cond(valid,
+                        lambda _: linear,
+                        lambda _: _pll_scan(params, carry, theta),
+                        None)
+
+    def fallback(_):
+        cvalid, chunked = _pll_chunked(params, carry, theta)
+        return lax.cond(cvalid,
+                        lambda _: chunked,
+                        lambda _: _pll_scan(params, carry, theta),
+                        None)
+
+    return lax.cond(valid, lambda _: linear, fallback, None)
 
 
 def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
@@ -290,10 +336,17 @@ def process_batch(params: FmParams, carry: FmCarry,
     """
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = jax.vmap(_pll_linear)(params, carry, theta)
-    pll_out = lax.cond(jnp.all(valid),
-                       lambda _: linear,
-                       lambda _: jax.vmap(_pll_scan)(params, carry, theta),
-                       None)
+    if _chunkable(theta.shape[-1]):
+        def scan_fallback(_):
+            cvalid, chunked = jax.vmap(_pll_chunked)(params, carry, theta)
+            return lax.cond(jnp.all(cvalid),
+                            lambda _: chunked,
+                            lambda _: jax.vmap(_pll_scan)(params, carry, theta),
+                            None)
+    else:
+        def scan_fallback(_):
+            return jax.vmap(_pll_scan)(params, carry, theta)
+    pll_out = lax.cond(jnp.all(valid), lambda _: linear, scan_fallback, None)
     return jax.vmap(_post)(params, carry, pll_out)
 
 

@@ -128,6 +128,57 @@ def _kernel(z_re_ref, z_im_ref,             # ANY [rows, 128] stream views
     )
 
 
+def _kernel_batch(z_re_ref, z_im_ref,       # ANY [C, rows, 128] stream views
+                  dn2_ref, d128_ref, tw_ref,  # VMEM constants [2, ...]
+                  h2_ref,                   # VMEM [1, 2, n2, 128] this channel
+                  y_re_ref, y_im_ref,       # out blocks [1, valid_rows, 128]
+                  *, n2: int, valid_rows: int):
+    """Channel-bank form of _kernel: grid (n_channels, n_frames) with the
+    channel as the leading (outer) grid axis, so each channel's
+    pre-permuted H block is fetched once and reused across its frames.
+    Identical math per (channel, frame) to the single-stream kernel."""
+    c = pl.program_id(0)
+    f = pl.program_id(1)
+
+    def body(br_s, bi_s, sem):
+        row0 = pl.multiple_of(f * valid_rows, valid_rows)
+        cp1 = pltpu.make_async_copy(z_re_ref.at[c, pl.ds(row0, n2)], br_s,
+                                    sem.at[0])
+        cp2 = pltpu.make_async_copy(z_im_ref.at[c, pl.ds(row0, n2)], bi_s,
+                                    sem.at[1])
+        cp1.start()
+        cp2.start()
+        dn2r, dn2i = dn2_ref[0], dn2_ref[1]
+        d128r, d128i = d128_ref[0], d128_ref[1]
+        twr, twi = tw_ref[0], tw_ref[1]
+        h2r, h2i = h2_ref[0, 0], h2_ref[0, 1]
+        cp1.wait()
+        cp2.wait()
+
+        cr, ci = _cmatmul(dn2r, dn2i, br_s[:], bi_s[:])
+        cpr = twr * cr - twi * ci
+        cpi = twr * ci + twi * cr
+        sr, si = _cmatmul(cpr, cpi, d128r, d128i)
+
+        pr = sr * h2r - si * h2i
+        pi = sr * h2i + si * h2r
+
+        qr, qi = _cmatmul(pr, pi, d128r, -d128i)
+        qpr = twr * qr + twi * qi
+        qpi = twr * qi - twi * qr
+        yr, yi = _cmatmul(dn2r, -dn2i, qpr, qpi)
+
+        y_re_ref[0] = yr[n2 - valid_rows:, :]
+        y_im_ref[0] = yi[n2 - valid_rows:, :]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((n2, N1), jnp.float32),
+        pltpu.VMEM((n2, N1), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 class FastFir4Params(NamedTuple):
     h2: jax.Array        # [2, n2, 128] pre-permuted H (re, im planes)
 
@@ -228,3 +279,58 @@ class FastFirFourStep:
         z = jnp.concatenate([carry.tail, x])
         y = self.filter_frames(params, z)
         return FastFir4Carry(tail=z[z.shape[-1] - (self.ntaps - 1):]), y
+
+    def filter_frames_batch(self, params: FastFir4Params,
+                            z: jax.Array) -> jax.Array:
+        """Channel-bank overlap-save core: ``z`` is [C, ntaps-1 + n]
+        complex (per-channel history + block), ``params.h2`` carries a
+        leading channel axis [C, 2, n2, 128].  One pallas_call with a
+        (C, n_frames) grid — the explicit channel grid axis is what plain
+        vmap over filter_frames cannot synthesize (ANY-memory-space
+        blocks with non-trivial index maps are not batchable), and what
+        lets banks keep the fused kernel instead of the 4x-slower XLA
+        fft path."""
+        nch = z.shape[0]
+        n = z.shape[-1] - (self.ntaps - 1)
+        if n % self.valid:
+            raise ValueError(f"block {n} not a multiple of {self.valid}")
+        n_frames = n // self.valid
+        rows = z.shape[-1] // N1
+        z_re = z.real.reshape(nch, rows, N1)
+        z_im = z.imag.reshape(nch, rows, N1)
+
+        kernel = functools.partial(_kernel_batch, n2=self.n2,
+                                   valid_rows=self.valid_rows)
+        y_re, y_im = pl.pallas_call(
+            kernel,
+            grid=(nch, n_frames),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, self.n2, N1), lambda c, f: (c, 0, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, self.valid_rows, N1), lambda c, f: (c, f, 0)),
+                pl.BlockSpec((1, self.valid_rows, N1), lambda c, f: (c, f, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nch, n_frames * self.valid_rows, N1),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((nch, n_frames * self.valid_rows, N1),
+                                     jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(z_re, z_im, self._dn2, self._d128, self._tw, params.h2)
+
+        return jax.lax.complex(y_re.reshape(nch, -1), y_im.reshape(nch, -1))
+
+    def batch_call(self, params: FastFir4Params, carry: FastFir4Carry,
+                   x: jax.Array) -> tuple[FastFir4Carry, jax.Array]:
+        """Streaming channel-bank entry: leading channel axis on
+        params/carry/x, same carry discipline as __call__ per channel."""
+        z = jnp.concatenate([carry.tail, x], axis=-1)
+        y = self.filter_frames_batch(params, z)
+        return FastFir4Carry(tail=z[:, z.shape[-1] - (self.ntaps - 1):]), y

@@ -32,6 +32,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 WRAP_MARGIN = 0.98          # |e| < WRAP_MARGIN*pi counts as wrap-free
 
@@ -69,6 +70,72 @@ def _conv_causal(u: jax.Array, k: jax.Array, n: int) -> jax.Array:
     L = 1 << int(np.ceil(np.log2(n + d - 1)))
     out = jnp.fft.irfft(jnp.fft.rfft(u, L) * jnp.fft.rfft(k, L), L)
     return out[:n].astype(u.dtype)
+
+
+def chunked_scan(step, init, guess, xs: jax.Array, chunk: int, halo: int,
+                 unroll: int = 8):
+    """Parallel guess-verify evaluation of a *self-synchronizing* scan.
+
+    ``step(state, x) -> (state', y)`` with ``state`` a flat tuple of scalars
+    and ``y`` a pytree of scalars; ``xs`` is the length-``n`` input block
+    (``n % chunk == 0``, ``halo <= chunk``).  The block is split into
+    ``C = n // chunk`` chunks evaluated concurrently as ONE scan over
+    [C]-wide vector states, so the serial depth drops from ``n`` to
+    ``halo + 2*chunk`` iterations:
+
+    * pass 1 runs every chunk from the ``guess`` state through a
+      ``halo``-sample warmup (the tail of the previous chunk's input) and
+      its own samples, keeping only the end states; chunk 0 starts from
+      the true ``init`` with its warmup frozen (it has no left context).
+    * pass 2 re-runs every chunk's own samples from the pass-1 end state
+      of its left neighbor (exact-by-construction for chunk 0).
+    * validity = pass-2 end states are BITWISE equal to the pass-1 end
+      states that pass 2's right neighbors consumed.  When that holds the
+      concatenated pass-2 outputs are exactly ``lax.scan(step, init, xs)``
+      (induction left→right: chunk 0's start is true, so its outputs and
+      end state are true; equality hands the true state to chunk 1, …).
+
+    Soundness needs nothing from the dynamics; *liveness* (valid coming
+    back True) relies on the map forgetting its state in ≲ ``halo``
+    samples — true of the clipped type-II PLL loops here (the NCO clamp
+    re-synchronizes frequency exactly at the rails and the phase error
+    contracts by (1-alpha) per sample; both demod loops measured to sync
+    bit-exactly within ~40 samples on noise, the worst case).  Blocks
+    where any boundary misses fall back to the sequential scan (caller's
+    lax.cond), so a failed guess costs time, never correctness.
+    """
+    tmap = jax.tree_util.tree_map
+    n = xs.shape[-1]
+    if n % chunk or halo > chunk:
+        raise ValueError(f"chunked_scan: n={n} chunk={chunk} halo={halo}")
+    C = n // chunk
+    main = xs.reshape(C, chunk)
+    halos = jnp.concatenate(
+        [jnp.zeros((1, halo), xs.dtype), main[:-1, chunk - halo:]], axis=0)
+    # pass-1 inputs, time-major: [halo+chunk, C]
+    xs1 = jnp.concatenate([halos, main], axis=1).T
+    frz = jnp.zeros((halo + chunk, C), bool).at[:halo, 0].set(True)
+    s0 = tmap(lambda g, i: jnp.broadcast_to(g, (C,)).at[0].set(i),
+              tuple(guess), tuple(init))
+
+    def body1(state, inp):
+        x, f = inp
+        nstate, _ = step(state, x)
+        return tmap(lambda old, new: jnp.where(f, old, new), state, nstate), None
+
+    e1, _ = lax.scan(body1, s0, (xs1, frz), unroll=unroll)
+
+    s2 = tmap(lambda e, i: jnp.concatenate([i[None], e[:-1]]),
+              e1, tuple(init))
+    e2, ys = lax.scan(lambda s, x: step(s, x), s2, main.T, unroll=unroll)
+
+    valid = jnp.array(True)
+    for a, b in zip(jax.tree_util.tree_leaves(e1),
+                    jax.tree_util.tree_leaves(e2)):
+        valid = valid & jnp.all(a[:-1] == b[:-1])
+    ys = tmap(lambda y: y.T.reshape(-1), ys)          # [chunk, C] -> [n]
+    end = tmap(lambda a: a[-1], e2)
+    return valid, ys, end
 
 
 def solve_locked(kernel: jax.Array, beta: jax.Array, limit: jax.Array,

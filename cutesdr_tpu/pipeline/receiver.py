@@ -562,10 +562,11 @@ def back_end(cfg: ReceiverConfig, params: ReceiverParams,
     return sm_c, agc_c, dm_c, rs_c, out
 
 
-def _front(cfg: ReceiverConfig, params: ReceiverParams,
-           state: ReceiverState, iq: jax.Array, probes=None):
-    """Wideband front end: blanker → DC cal → mix+decimate → channel filter.
-    Returns the updated front-end carries and the filtered baseband."""
+def _front_prefilter(cfg: ReceiverConfig, params: ReceiverParams,
+                     state: ReceiverState, iq: jax.Array, probes=None):
+    """Blanker → DC cal → mix+decimate (everything before the channel
+    filter); split out so the bank path can vmap it and hand the stacked
+    baseband to the grid-batched Pallas channel filter."""
     if cfg.nb_on:
         nb_cfg = noiseblanker.BlankerConfig(cfg.nb_on, cfg.nb_threshold,
                                             cfg.nb_width_us, cfg.input_rate)
@@ -599,7 +600,15 @@ def _front(cfg: ReceiverConfig, params: ReceiverParams,
             dec_c, base = decimator.cascade_process(cfg.plan, state.dec, mixed)
     if probes is not None:
         probes["p1_downconvert"] = base
+    return nb_c, nco_c, dec_c, base
 
+
+def _front(cfg: ReceiverConfig, params: ReceiverParams,
+           state: ReceiverState, iq: jax.Array, probes=None):
+    """Wideband front end: blanker → DC cal → mix+decimate → channel filter.
+    Returns the updated front-end carries and the filtered baseband."""
+    nb_c, nco_c, dec_c, base = _front_prefilter(cfg, params, state, iq,
+                                                probes)
     if cfg.fastfir_impl == "pallas":
         ff_c, filt = _make_fastfir4(cfg)(params.chan_filter,
                                          state.chan_filter, base)
@@ -625,17 +634,15 @@ def receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
 
 
 def bank_safe_config(cfg: ReceiverConfig) -> ReceiverConfig:
-    """Coerce a config for vmapped (channel-bank) execution.
+    """Coerce a config for channel-bank execution.
 
-    The four-step Pallas channel filter streams through ANY-memory-space
-    views with non-trivial index maps, which Pallas cannot add a vmap
-    batch dimension to ("blocks having the same block shape as the array
-    shape and a trivial index_map" lowering error) — banks take the XLA
-    fft path instead.  The mixdec kernel uses plain VMEM tiles and vmaps
-    fine."""
-    if cfg.fastfir_impl == "pallas":
-        from dataclasses import replace
-        return replace(cfg, fastfir_impl="xla")
+    The four-step Pallas channel filter's ANY-memory-space stream views
+    cannot be vmapped ("blocks having the same block shape as the array
+    shape and a trivial index_map" lowering error), but banks no longer
+    need to: bank_receiver_step routes the pallas path through the
+    explicit (channels, frames) grid kernel (fastfir4.batch_call), so the
+    config passes through unchanged.  Kept as the bank entry point's
+    config hook in case a future impl needs coercion."""
     return cfg
 
 
@@ -672,13 +679,30 @@ def bank_receiver_step(cfg: ReceiverConfig, params: ReceiverParams,
     come back with a leading channel axis (p1/p2/p3 per channel; p4/p5 via
     the vmapped tail) — the testbench probe methodology (SURVEY.md section
     4) applied to the whole bank at once."""
-    def front(p, s, x):
-        pr = {} if cfg.probes else None
-        nb_c, nco_c, dec_c, ff_c, filt = _front(cfg, p, s, x, pr)
-        return nb_c, nco_c, dec_c, ff_c, filt, pr
+    in_axes = (0, 0, None if shared_input else 0)
+    if cfg.fastfir_impl == "pallas":
+        # vmap everything before the channel filter, then one pallas_call
+        # with an explicit (channels, frames) grid — plain vmap cannot
+        # batch the kernel's ANY-memory-space stream views
+        def prefront(p, s, x):
+            pr = {} if cfg.probes else None
+            nb_c, nco_c, dec_c, base = _front_prefilter(cfg, p, s, x, pr)
+            return nb_c, nco_c, dec_c, base, pr
 
-    nb_c, nco_c, dec_c, ff_c, filt, probes = jax.vmap(
-        front, in_axes=(0, 0, None if shared_input else 0))(params, state, iq)
+        nb_c, nco_c, dec_c, base, probes = jax.vmap(
+            prefront, in_axes=in_axes)(params, state, iq)
+        ff_c, filt = _make_fastfir4(cfg).batch_call(params.chan_filter,
+                                                    state.chan_filter, base)
+        if cfg.probes:
+            probes["p2_fastfir"] = filt
+    else:
+        def front(p, s, x):
+            pr = {} if cfg.probes else None
+            nb_c, nco_c, dec_c, ff_c, filt = _front(cfg, p, s, x, pr)
+            return nb_c, nco_c, dec_c, ff_c, filt, pr
+
+        nb_c, nco_c, dec_c, ff_c, filt, probes = jax.vmap(
+            front, in_axes=in_axes)(params, state, iq)
     # S-meter vmaps cleanly (pure parallel); the AGC goes through the
     # bank-voted batch path so its scan fallback stays a real branch
     agc_cfg = agc.AgcConfig(cfg.agc_on, cfg.agc_hang, cfg.plan.out_rate)
