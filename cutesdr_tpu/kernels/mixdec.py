@@ -59,7 +59,7 @@ LANE = 128
 
 def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
              *, TO4, R, C, halo_rows, lane, wide_cols, m_rows,
-             base_off=0):
+             base_off=0, band_roll=False):
     """Shared mix+decimate body on a filled [m_rows, lane] scratch pair.
     zr/zi hold z rows [i*TO4, i*TO4 + m_rows) of the tail||input stream;
     dcr/dci is the NCO-spur DC cal subtracted in place (free against the
@@ -130,6 +130,37 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
         acc_im = jnp.sum(pim, axis=1, keepdims=True)
         y_ref[0, :] = jnp.transpose(acc_re[:TO4])[0, :]
         y_ref[1, :] = jnp.transpose(acc_im[:TO4])[0, :]
+    elif band_roll:
+        # residue form of the wide-row roll trick: w4 is padded to 128
+        # columns (col = R*c + r; pad columns are zero, so their rolls
+        # are harmless), each column is rolled UP by base_off + c rows to
+        # align every band's diagonal pre[n' + base_off + c, R*c + r]
+        # onto row n', then one masked lane reduction per residue
+        # replaces the 2*R*C unaligned row slices of the fallback below.
+        # Measured (x32 flagship, 8.4M blocks, honest slope fence): 0.506
+        # vs 0.577 ms — 1.14x, despite the 3.2x-wider padded matmul (the
+        # MXU had the headroom; the slice relayouts did not).  Wrapped-in
+        # bottom rows only land at n' >= m_rows - u >= TO4, outside the
+        # emitted window.
+        col = jax.lax.broadcasted_iota(jnp.int32, (m_rows, LANE), 1)
+        u = base_off + col // R
+        b = 0
+        while (1 << b) <= base_off + C - 1:
+            sft = 1 << b
+            take = (u & sft) != 0
+            pre = jnp.where(take, pltpu.roll(pre, shift=m_rows - sft,
+                                             axis=0), pre)
+            pim = jnp.where(take, pltpu.roll(pim, shift=m_rows - sft,
+                                             axis=0), pim)
+            b += 1
+        for r in range(R):
+            mask = (col % R) == r
+            acc_re = jnp.sum(jnp.where(mask, pre, 0.0), axis=1,
+                             keepdims=True)
+            acc_im = jnp.sum(jnp.where(mask, pim, 0.0), axis=1,
+                             keepdims=True)
+            y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
+            y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
     else:
         for r in range(R):           # y[R n' + r] = sum_c P[n' + c, R c + r]
             acc_re = jnp.zeros((TO4,), jnp.float32)
@@ -148,7 +179,7 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
             w4_ref,                 # VMEM [lane, R*C] residue tap matrix
             y_ref,                  # VMEM out [2R, TO4]
             *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE,
-            wide_cols: int = 0, base_off: int = 0):
+            wide_cols: int = 0, base_off: int = 0, band_roll: bool = False):
     # VMEM scratch rows must be 8-aligned (Mosaic tiling); the extra rows
     # read zero padding and feed matmul rows that are never summed
     m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
@@ -167,7 +198,8 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
         _compute(i, scalars_ref[0], scalars_ref[1], zr_s[:], zi_s[:],
                  jnp.float32(0.0), jnp.float32(0.0), w4_ref[:], y_ref,
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
-                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off)
+                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
+                 band_roll=band_roll)
 
     pl.run_scoped(
         body,
@@ -187,7 +219,7 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
                    sem,                  # DMA sems [slot, plane]
                    *, TO4: int, R: int, C: int, halo_rows: int,
                    lane: int, wide_cols: int, rows_x: int,
-                   base_off: int = 0):
+                   base_off: int = 0, band_roll: bool = False):
     """Plane-native, double-buffered variant: the carried raw tail
     arrives as its OWN small buffer and the block input as the session's
     re/im f32 planes, so the caller materializes NO concatenated/split
@@ -287,7 +319,8 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
         _compute(i, scalars_ref[0], scalars_ref[1], zr_s[:], zi_s[:],
                  dc_ref[0], dc_ref[1], w4_ref[:], y_ref,
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
-                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off)
+                 wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
+                 band_roll=band_roll)
 
     if n_tiles == 1:
         finish(zr0, zi0, 0)
@@ -324,7 +357,7 @@ class MixDecimate:
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
                  tile_out: int = 512, interpret: bool = False,
-                 wide: bool = True):
+                 wide: bool = True, band_roll: bool = True):
         from cutesdr_tpu.ops import nco as nco_ops
 
         self.plan = plan
@@ -381,6 +414,17 @@ class MixDecimate:
             w4w[:, :self.C] = w4[:, ::-1]
             w4 = w4w
             self.wide_cols = LANE
+        self.band_roll = False
+        if (band_roll and not self.wide_cols and self.R > 1
+                and self.R * self.C <= LANE):
+            # pad the residue tap matrix to 128 columns so the band sum
+            # can run as masked uniform rolls + lane reductions instead
+            # of 2*R*C unaligned row slices (see _compute's band_roll
+            # branch); pad columns are zero and contribute nothing
+            w4p = np.zeros((lane, LANE))
+            w4p[:, :self.R * self.C] = w4
+            w4 = w4p
+            self.band_roll = True
         self.w4 = w4
         if tile_out % self.R:
             raise ValueError(f"tile_out must be a multiple of {self.R}")
@@ -429,7 +473,8 @@ class MixDecimate:
         kernel = functools.partial(_kernel, TO4=TO4, R=R, C=C,
                                    halo_rows=self.halo_rows, lane=lane,
                                    wide_cols=self.wide_cols,
-                                   base_off=self.base_off)
+                                   base_off=self.base_off,
+                                   band_roll=self.band_roll)
         y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -493,7 +538,8 @@ class MixDecimate:
         kernel = functools.partial(_kernel_planes, TO4=TO4, R=R, C=C,
                                    halo_rows=self.halo_rows, lane=lane,
                                    wide_cols=self.wide_cols, rows_x=rows_x,
-                                   base_off=self.base_off)
+                                   base_off=self.base_off,
+                                   band_roll=self.band_roll)
         buf = pltpu.VMEM((m_rows, lane), jnp.float32)
         y4 = pl.pallas_call(
             kernel,
