@@ -19,11 +19,17 @@ class FileSource:
     """Streaming IQ source from a raw capture file.
 
     Formats:
-      'int16'  — interleaved little-endian int16 I,Q
-      'int24'  — interleaved little-endian int24 I,Q (scaled /65536 to the
-                 ±32k range like the reference's UDP path)
-      'cf32'   — interleaved float32 I,Q
-      'npy'    — complex .npy array
+      'int16'   — interleaved little-endian int16 I,Q
+      'int24'   — interleaved little-endian int24 I,Q (scaled /65536 to the
+                  ±32k range like the reference's UDP path)
+      'cf32'    — interleaved float32 I,Q
+      'npy'     — complex .npy array
+      'sv'      — SpectraVue .dat capture: 0x7e-byte header then int24
+                  interleaved I,Q (the reference testbench's USE_SVFILE
+                  playback, gui/testbench.cpp:367-395: 3 bytes into the
+                  high bytes of an int32, /65536 == int24/256)
+      'perseus' — Perseus capture: identical payload, 0x7a-byte header
+                  (USE_PERSEUSFILE, same site)
 
     ``channels=2`` reads channel-interleaved multichannel captures (the
     SigMF convention: per sample instant, one I/Q pair per channel) and
@@ -34,15 +40,21 @@ class FileSource:
     loop: bool = False
     channels: int = 1
 
+    _HEADER_BYTES = {"sv": 0x7E, "perseus": 0x7A}
+
     def __post_init__(self):
         if self.fmt == "npy":
             self._data = np.load(self.path).astype(np.complex64)
             self._pos = 0
         else:
             self._fh = open(self.path, "rb")
+            self._header = self._HEADER_BYTES.get(self.fmt, 0)
+            if self._header:
+                self._fh.seek(self._header)
 
     def _bytes_per_sample(self) -> int:
-        return {"int16": 4, "int24": 6, "cf32": 8}[self.fmt]
+        return {"int16": 4, "int24": 6, "cf32": 8,
+                "sv": 6, "perseus": 6}[self.fmt]
 
     def next_block(self, n: int) -> np.ndarray | None:
         """Return exactly n complex64 samples ([channels, n] for
@@ -71,7 +83,7 @@ class FileSource:
         if not raw:
             if not self.loop:
                 return None
-            self._fh.seek(0)
+            self._fh.seek(self._header)   # reference re-seeks past header
             raw = self._fh.read(n * self._bytes_per_sample())
         if self.fmt == "int16":
             a = np.frombuffer(raw, "<i2")
@@ -80,7 +92,7 @@ class FileSource:
         elif self.fmt == "cf32":
             a = np.frombuffer(raw, "<f4").reshape(-1, 2)
             iq = a[:, 0] + 1j * a[:, 1]
-        else:  # int24
+        else:  # int24 payload (raw, SV, Perseus)
             b = np.frombuffer(raw, np.uint8)
             b = b[:len(b) - len(b) % 6].reshape(-1, 6)
             def i24(lo, mid, hi):

@@ -203,8 +203,8 @@ def _resample_padded(zr2, zi2, base, ti, tf, periods, dt_nom, interp,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # base
             pl.BlockSpec((8, 128), lambda s: (s, 0)),         # t_int rel
             pl.BlockSpec((8, 128), lambda s: (s, 0)),         # t_frac
-            pl.BlockSpec(memory_space=pltpu.ANY),             # z re rows
-            pl.BlockSpec(memory_space=pltpu.ANY),             # z im rows
+            pl.BlockSpec(memory_space=pl.ANY),             # z re rows
+            pl.BlockSpec(memory_space=pl.ANY),             # z im rows
         ],
         out_specs=[pl.BlockSpec((8, 128), lambda s: (s, 0)),
                    pl.BlockSpec((8, 128), lambda s: (s, 0))],

@@ -209,11 +209,12 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters,
                     peak, pattern, x0, rise_alpha, fall_alpha)
                 return pattern_new, x, nmism == 0, i + 1
 
+            def not_converged_k(c):
+                return jnp.logical_not(c[2]) & (c[3] < n_iters)
+
             carry0 = body_k((jnp.where(pattern0, 1.0, 0.0), xg,
                              jnp.asarray(False), jnp.asarray(0)))
-            _, x, valid, _ = lax.while_loop(
-                lambda c: jnp.logical_not(c[2]) & (c[3] < n_iters),
-                body_k, carry0)
+            _, x, valid, _ = lax.while_loop(not_converged_k, body_k, carry0)
             return x, valid
     # loop-invariant products hoisted: each round then costs two selects
     # + the associative solve instead of re-deriving alpha arrays
@@ -244,10 +245,11 @@ def _two_rate_parallel(rise_alpha, fall_alpha, x0, peak, n_iters,
                         | same_val, axis=-1)
         return pattern_new, x, valid, i + 1
 
+    def not_converged(c):
+        return jnp.logical_not(jnp.all(c[2])) & (c[3] < n_iters)
+
     carry0 = body((pattern0, xg, jnp.asarray(False), jnp.asarray(0)))
-    _, x, valid, _ = lax.while_loop(
-        lambda c: jnp.logical_not(jnp.all(c[2])) & (c[3] < n_iters),
-        body, carry0)
+    _, x, valid, _ = lax.while_loop(not_converged, body, carry0)
     return x, valid
 
 
@@ -283,11 +285,12 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters,
 
     zero_d = jnp.zeros_like(peak)
     zero_dist = jnp.zeros(peak.shape, jnp.int32)
+    def not_converged(c):
+        return jnp.logical_not(jnp.all(c[3])) & (c[4] < n_iters)
+
     carry0 = body((pattern0, zero_d, zero_dist, jnp.asarray(False),
                    jnp.asarray(0)))
-    _, d, dist, valid, _ = lax.while_loop(
-        lambda c: jnp.logical_not(jnp.all(c[3])) & (c[4] < n_iters),
-        body, carry0)
+    _, d, dist, valid, _ = lax.while_loop(not_converged, body, carry0)
     timer = jnp.minimum(dist[..., -1], p.hang_time).astype(jnp.int32)
     return d, timer, valid
 
@@ -319,8 +322,14 @@ def _averager(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
     non-converged block (lax.cond — the scan only executes then).
     Single-stream entry point -> the Pallas scan fast path is legal."""
     par, valid = _averager_parallel(cfg, p, carry, peak, fast=True)
-    return lax.cond(valid, lambda _: par,
-                    lambda _: _averager_scan(cfg, p, carry, peak), None)
+
+    def take_parallel(_):
+        return par
+
+    def run_scan_fallback(_):
+        return _averager_scan(cfg, p, carry, peak)
+
+    return lax.cond(valid, take_parallel, run_scan_fallback, None)
 
 
 def _prefix(cfg: AgcConfig, carry: AgcCarry, x: jax.Array):
@@ -378,9 +387,15 @@ def process_batch(cfg: AgcConfig, params: AgcParams, carry: AgcCarry,
     par, valid = jax.vmap(
         lambda p, c, pk: _averager_parallel(cfg, p, c, pk))(
             params, carry, peak)
-    seq = lambda _: jax.vmap(
-        lambda p, c, pk: _averager_scan(cfg, p, c, pk))(params, carry, peak)
-    a, d, timer, magsel = lax.cond(jnp.all(valid), lambda _: par, seq, None)
+    def take_parallel(_):
+        return par
+
+    def run_scan_fallback(_):
+        return jax.vmap(lambda p, c, pk: _averager_scan(cfg, p, c, pk))(
+            params, carry, peak)
+
+    a, d, timer, magsel = lax.cond(jnp.all(valid), take_parallel,
+                                   run_scan_fallback, None)
     y = jax.vmap(_apply_gain)(params, magsel, delayed)
     return AgcCarry(sig_delay=new_sig_delay, mag_tail=mag_tail,
                     attack_ave=a, decay_ave=d, hang_timer=timer), y

@@ -217,6 +217,25 @@ def test_filesource_npy_loop(tmp_path):
     np.testing.assert_allclose(a, b)
 
 
+@pytest.mark.parametrize("fmt,header", [("sv", 0x7E), ("perseus", 0x7A)])
+def test_filesource_legacy_capture_formats(fmt, header, tmp_path):
+    """SV/Perseus playback: fixed header skipped, int24 LE payload /256
+    (reference: 3 bytes into an int32's high bytes then /65536 —
+    gui/testbench.cpp:367-395), loop re-seeks past the header."""
+    path = str(tmp_path / f"cap.{fmt}")
+    vals = np.array([1 << 8, -(1 << 8), 123456, -654321, 0, 255], np.int32)
+    iq = (vals[0::2] + 1j * vals[1::2]).astype(np.complex64) / 256.0
+    payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    with open(path, "wb") as f:
+        f.write(b"\xab" * header)      # junk header of the documented size
+        f.write(payload)
+    src = filesource.FileSource(path, fmt, loop=True)
+    got = src.next_block(3)
+    np.testing.assert_allclose(got, iq)
+    got2 = src.next_block(3)           # loop: header skipped again
+    np.testing.assert_allclose(got2, iq)
+
+
 def test_wav_sink(tmp_path):
     import wave
     path = str(tmp_path / "out.wav")
