@@ -183,6 +183,22 @@ def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
     return jnp.mod(phase, K_2PI), freq, dc, audio, err
 
 
+def _dc_track(params: FmParams, freqs: jax.Array, dc0: jax.Array):
+    """DC-tracker EMA evaluated about the block's first frequency sample
+    as origin (exact linear identity: shifting x and x0 by a constant
+    shifts the EMA by the same constant).  Keeps the f32 state near ZERO
+    so its ulp is set by the frequency DEVIATION scale (~0.02 rad/sample)
+    rather than the absolute NCO frequency (~0.2 at a 2 kHz offset) —
+    measured r5: the absolute-frame f32 EMA was the FM chain's noise
+    floor (86 dB; offset frame ~104 dB, equal to computing the tracker
+    in f64).  Returns (audio_series, dc_last)."""
+    off = freqs[..., :1]
+    f_off = freqs - off
+    dcs_off = ema(params.dc_alpha, f_off, dc0 - off[..., 0])
+    audio = (f_off - dcs_off) * params.out_gain
+    return audio, off[..., 0] + dcs_off[..., -1]
+
+
 PLL_CHUNK = 128
 PLL_HALO = 128
 
@@ -214,9 +230,8 @@ def _pll_chunked(params: FmParams, carry: FmCarry, theta: jax.Array):
     init = (carry.nco_phase, carry.nco_freq)
     valid, (freqs, errs), (phase, freq) = pll.chunked_scan(
         step, init, init, theta, PLL_CHUNK, PLL_HALO)
-    dcs = ema(params.dc_alpha, freqs, carry.freq_error_dc)
-    audio = (freqs - dcs) * params.out_gain
-    return valid, (jnp.mod(phase, K_2PI), freq, dcs[-1], audio, errs)
+    audio, dc_last = _dc_track(params, freqs, carry.freq_error_dc)
+    return valid, (jnp.mod(phase, K_2PI), freq, dc_last, audio, errs)
 
 
 def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
@@ -229,30 +244,45 @@ def _pll_linear(params: FmParams, carry: FmCarry, theta: jax.Array):
     e, f_next, valid = pll.solve_locked(params.pll_kernel, params.pll_beta,
                                         params.nco_limit, e0,
                                         carry.nco_freq, u)
-    dcs = ema(params.dc_alpha, f_next, carry.freq_error_dc)
-    audio = (f_next - dcs) * params.out_gain
+    audio, dc_last = _dc_track(params, f_next, carry.freq_error_dc)
     phase = jnp.mod(-theta[-1] - e[-1] + f_next[-1] + params.pll_alpha * e[-1],
                     K_2PI)
-    return valid, (phase, f_next[-1], dcs[-1], audio, e)
+    return valid, (phase, f_next[-1], dc_last, audio, e)
+
+
+TIER_LINEAR, TIER_CHUNKED, TIER_SCAN = 0, 1, 2
 
 
 def _pll(params: FmParams, carry: FmCarry, x: jax.Array):
+    """Tiered PLL solve.  Returns (tier, pll_out): tier is an on-device
+    int32 telling which tier actually executed this block (0 = parallel
+    linear/locked solve, 1 = chunked guess-verify, 2 = sequential scan).
+    The tier is exposed through process_probed -> the receiver's
+    "pll_tier" probe so a silent always-fallback regression (e.g. the
+    chunked tier's bitwise check failing under a compiler change) is
+    detectable at runtime — see tests/test_pll_chunked.py."""
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = _pll_linear(params, carry, theta)
+
+    def take_linear(_):
+        return jnp.asarray(TIER_LINEAR, jnp.int32), linear
+
+    def run_scan(_):
+        return (jnp.asarray(TIER_SCAN, jnp.int32),
+                _pll_scan(params, carry, theta))
+
     if not _chunkable(theta.shape[-1]):
-        return lax.cond(valid,
-                        lambda _: linear,
-                        lambda _: _pll_scan(params, carry, theta),
-                        None)
+        return lax.cond(valid, take_linear, run_scan, None)
 
     def fallback(_):
         cvalid, chunked = _pll_chunked(params, carry, theta)
-        return lax.cond(cvalid,
-                        lambda _: chunked,
-                        lambda _: _pll_scan(params, carry, theta),
-                        None)
 
-    return lax.cond(valid, lambda _: linear, fallback, None)
+        def take_chunked(_):
+            return jnp.asarray(TIER_CHUNKED, jnp.int32), chunked
+
+        return lax.cond(cvalid, take_chunked, run_scan, None)
+
+    return lax.cond(valid, take_linear, fallback, None)
 
 
 def _noise_squelch(params: FmParams, carry: FmCarry, audio: jax.Array):
@@ -289,24 +319,32 @@ def _post(params: FmParams, carry: FmCarry, pll_out):
 
 def process(params: FmParams, carry: FmCarry,
             x: jax.Array) -> tuple[FmCarry, jax.Array]:
-    return _post(params, carry, _pll(params, carry, x))
+    _tier, pll_out = _pll(params, carry, x)
+    return _post(params, carry, pll_out)
 
 
 def process_probed(params: FmParams, carry: FmCarry, x: jax.Array):
     """process() + the PLL-internal probe series: the per-sample phase
     error in radians x100 — the reference's ad-hoc PROFILE_6 tap
     (dsp/fmdemod.cpp:120 scales the FM loop internals the same way;
-    dsp/samdemod.cpp:92 is the x100 phase-error site).  Returns
-    (carry', audio, p6)."""
-    pll_out = _pll(params, carry, x)
+    dsp/samdemod.cpp:92 is the x100 phase-error site) — and the executed
+    solver tier (int32, see _pll).  Returns (carry', audio, p6, tier)."""
+    tier, pll_out = _pll(params, carry, x)
     c, y = _post(params, carry, pll_out)
-    return c, y, pll_out[4] * 100.0
+    return c, y, pll_out[4] * 100.0, tier
 
 
 def process_stereo(params: FmParams, carry: FmCarry,
                    x: jax.Array) -> tuple[FmCarry, jax.Array]:
     carry, y = process(params, carry, x)
     return carry, jax.lax.complex(y, y)
+
+
+def last_tier(params: FmParams, carry: FmCarry, x: jax.Array) -> jax.Array:
+    """Solver-tier diagnostic alone (0/1/2, see _pll) for a block —
+    the ADVICE-r4 visibility hook for the chunked tier's liveness."""
+    tier, _ = _pll(params, carry, x)
+    return tier
 
 
 def process_batch(params: FmParams, carry: FmCarry,

@@ -113,24 +113,41 @@ def _pll_linear(params: SamParams, carry: SamCarry, theta: jax.Array):
     return valid, (phase, f_next[-1], prev)
 
 
+TIER_LINEAR, TIER_SCAN = 0, 2     # tier 1 (chunked) does not exist for SAM
+
+
 def _pll(params: SamParams, carry: SamCarry, x: jax.Array):
-    """Hybrid PLL; returns (phase', freq', baseband I/Q, phase-error seq)."""
+    """Hybrid PLL; returns (tier, phase', freq', baseband I/Q,
+    phase-error seq).  tier (int32) = 0 parallel linear solve, 2
+    sequential scan (matching fm._pll's numbering; there is no chunked
+    tier 1 here — see below)."""
     # Unlike FM, there is no chunked guess-verify middle tier here: the
     # 100 Hz loop's memory is ~2600 samples (|eigenvalue| 0.993 at 62.5k),
     # so warmup halos that could bit-sync a chunk would be as long as the
     # chunk itself, and the weak feedback (alpha+beta ~ 0.014) also makes
     # the iterated wrap-pattern solve diverge on noise (the error process
     # is a near-integrator with sigma ~ 11 rad — wraps are dense, not
-    # sparse perturbations).  The scan fallback only runs during
-    # acquisition transients or on carrier-less noise.
+    # sparse perturbations).  Measured (r5, f32 sequential runs from
+    # different initial states on identical carrier-less noise): bitwise
+    # state sync took 4.6k / 16k / NEVER-within-20k samples across seeds
+    # — chunked_scan's bitwise boundary check is not live at any chunk
+    # size that beats the plain scan, so the tier would only add cost.
+    # The scan fallback only runs during acquisition transients or on
+    # carrier-less noise; its cost is addressed by the scalar-core
+    # sequential kernel instead (kernels/seqloop, r5).
     theta = jnp.arctan2(x.imag, x.real)
     valid, linear = _pll_linear(params, carry, theta)
-    phase, freq, prev = lax.cond(valid,
-                                 lambda _: linear,
-                                 lambda _: _pll_scan(params, carry, theta),
-                                 None)
+
+    def take_linear(_):
+        return jnp.asarray(TIER_LINEAR, jnp.int32), linear
+
+    def run_scan(_):
+        return (jnp.asarray(TIER_SCAN, jnp.int32),
+                _pll_scan(params, carry, theta))
+
+    tier, (phase, freq, prev) = lax.cond(valid, take_linear, run_scan, None)
     base = x * jax.lax.complex(jnp.cos(prev), -jnp.sin(prev))
-    return phase, freq, base, _wrap_pi(theta - prev)
+    return tier, phase, freq, base, _wrap_pi(theta - prev)
 
 
 def _pll_batch(params: SamParams, carry: SamCarry, x: jax.Array):
@@ -173,22 +190,23 @@ def _post_stereo(params: SamParams, carry: SamCarry, phase, freq, base):
 
 def process(params: SamParams, carry: SamCarry,
             x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base, _ = _pll(params, carry, x)
+    _tier, phase, freq, base, _ = _pll(params, carry, x)
     return _post_mono(carry, phase, freq, base)
 
 
 def process_probed(params: SamParams, carry: SamCarry, x: jax.Array):
     """process() + the PLL phase-error series x100 — the reference's
     ad-hoc PROFILE_6 tap (dsp/samdemod.cpp:92: `phzerror*100.0` to
-    g_pTestBench).  Returns (carry', audio, p6)."""
-    phase, freq, base, err = _pll(params, carry, x)
+    g_pTestBench) — and the executed solver tier (int32, see _pll).
+    Returns (carry', audio, p6, tier)."""
+    tier, phase, freq, base, err = _pll(params, carry, x)
     c, y = _post_mono(carry, phase, freq, base)
-    return c, y, err * 100.0
+    return c, y, err * 100.0, tier
 
 
 def process_stereo(params: SamParams, carry: SamCarry,
                    x: jax.Array) -> tuple[SamCarry, jax.Array]:
-    phase, freq, base, _ = _pll(params, carry, x)
+    _tier, phase, freq, base, _ = _pll(params, carry, x)
     return _post_stereo(params, carry, phase, freq, base)
 
 

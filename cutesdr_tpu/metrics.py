@@ -30,6 +30,11 @@ class StreamMetrics:
     smeter_peak_db: float = -120.0
     overload: bool = False
     squelch_open: bool = True
+    # PLL solver-tier counters (probes-enabled SAM/FM sessions only):
+    # blocks solved by tier 0 = parallel linear, 1 = chunked guess-verify,
+    # 2 = sequential scan — a persistent all-tier-2 stream flags a silent
+    # fallback regression (ADVICE r4)
+    pll_tier_blocks: list = field(default_factory=lambda: [0, 0, 0])
 
     def update_block(self, n_in: int, n_audio: int, smeter_ave: float,
                      smeter_peak: float) -> None:

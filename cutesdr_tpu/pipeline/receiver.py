@@ -357,15 +357,17 @@ def _demod_apply(cfg: ReceiverConfig, params, carry, x, probes=None):
         return f(params, carry, x)
     if m == DEMOD_SAM:
         if probes is not None and not cfg.stereo:
-            c, y, p6 = sam_demod.process_probed(params, carry, x)
+            c, y, p6, tier = sam_demod.process_probed(params, carry, x)
             probes["p6_pll"] = p6
+            probes["pll_tier"] = tier
             return c, y
         f = sam_demod.process_stereo if cfg.stereo else sam_demod.process
         return f(params, carry, x)
     if m == DEMOD_FM:
         if probes is not None and not cfg.stereo:
-            c, y, p6 = fm_demod.process_probed(params, carry, x)
+            c, y, p6, tier = fm_demod.process_probed(params, carry, x)
             probes["p6_pll"] = p6
+            probes["pll_tier"] = tier
             return c, y
         f = fm_demod.process_stereo if cfg.stereo else fm_demod.process
         return f(params, carry, x)

@@ -174,6 +174,10 @@ class ReceiverSession:
         half: audio, meters, queue accounting.)"""
         if self._probe_tap is not None and out.probes is not None:
             self._feed_probe(out.probes.get(self._probe_tap))
+        if out.probes is not None and "pll_tier" in out.probes:
+            tier = int(np.asarray(out.probes["pll_tier"]))
+            if 0 <= tier <= 2:
+                self.metrics.pll_tier_blocks[tier] += 1
         n_aud = int(out.n_audio)
         audio = np.asarray(out.audio)[:n_aud]
         self.audio_queue.put_block(

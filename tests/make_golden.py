@@ -54,8 +54,13 @@ TUNE = 60_000.0
 # stimuli are noise-free; (b) the acquisition transient (AGC charge +
 # PLL lock at ~15 ms, where tiny rounding shifts the lock instant) is
 # excluded by pinning skip to the first half of a longer record.
-N_BLOCKS_BY_MODE = {"sam": 8, "fm": 8}
-SKIP_FRACTION = {"sam": 0.5, "fm": 0.5}
+N_BLOCKS_BY_MODE = {"sam": 8, "fm": 16}
+# fm skips 3/4: even with a lock-at-start stimulus the first block's
+# channel-filter warmup feeds the PLL near-zero samples whose PHASE is
+# precision noise (arctan2 of the filter ramp), and that kick decays at
+# ~14 dB/block through the 625-sample DC-tracker pole — measured r5: the
+# locked steady state sits at 104-107 dB from block 12 on.
+SKIP_FRACTION = {"sam": 0.5, "fm": 0.75}
 
 # Per-mode stimulus (testbench generator settings) — chosen so every
 # sequential loop (AGC, PLLs) stays in its locked/contracting regime, where
@@ -81,8 +86,15 @@ STIMULI = {
     # unmodulated carrier is DC-removed to ~zero.  Handled in main().
     "sam": dict(carrier_offset_hz=100.0, mod_hz=400.0, mod_depth=0.5,
                 signal_power_db=-25.0),
-    # swept carrier inside the FM passband: the PLL tracks a frequency ramp
-    "fm":  dict(sweep_start_hz=TUNE - 2000.0, sweep_stop_hz=TUNE + 2000.0,
+    # swept carrier inside the FM passband: the PLL tracks a frequency ramp.
+    # The sweep STARTS AT the tune frequency (r5): starting 2 kHz off made
+    # the scored region acquisition-dominated — FM lock from a large offset
+    # goes through cycle slips whose count is chaotically sensitive (f64
+    # chains fed inputs identical to 1e-24 diverged at mse 8e6 in block 0,
+    # decaying ~15 dB/block), so the old fixture measured which trajectory
+    # slipped how, not steady-state precision.  Lock-at-start + skip=1/2 of
+    # a 16-block record scores the locked tracking regime only.
+    "fm":  dict(sweep_start_hz=TUNE, sweep_stop_hz=TUNE + 2000.0,
                 sweep_rate_hz_per_sec=4000.0, signal_power_db=-25.0,
                 noise_power_db=-160.0),
 }
@@ -179,10 +191,13 @@ def snr_db(want, got, skip):
 
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
+    only = set(sys.argv[1:])        # optional fixture-name filter
     jobs = ([(mode, mode, FS, TUNE, stim)
              for mode, stim in STIMULI.items()]
             + [(name, mode, fs, tune, stim)
                for name, mode, fs, tune, stim in EXTRA])
+    if only:
+        jobs = [j for j in jobs if j[0] in only]
     for name, mode, fs, tune, stim in jobs:
         cfg = mode_cfg(mode, fs, tune)
         n_blocks = N_BLOCKS_BY_MODE.get(mode, N_BLOCKS)

@@ -252,10 +252,12 @@ def main():
     if not os.path.exists(HARNESS):
         subprocess.run(["make", "-C", os.path.join(_HERE, "ref_harness")],
                        check=True)
-    make_sam_stereo()
-    make_fft_display()
-    make_misc_ops()
-    for name in NAMES:
+    only = set(sys.argv[1:])        # optional fixture-name filter
+    if not only:
+        make_sam_stereo()
+        make_fft_display()
+        make_misc_ops()
+    for name in (n for n in NAMES if not only or n in only):
         d = np.load(os.path.join(FIXDIR, f"golden_{name}.npz"))
         meta = json.loads(str(d["meta"]))
         cfg = ReceiverConfig(input_rate=meta["input_rate"],

@@ -247,7 +247,7 @@ def test_fm_pll_linear_flags_unlocked_block():
     _, audio = fm.process(p, c, xj)
     want = oracles.FmPllOracle(fs)(x)
     # squelch will likely mute; compare the raw PLL instead
-    _, _, _, raw, _ = fm._pll(p, c, xj)
+    _tier, (_, _, _, raw, _) = fm._pll(p, c, xj)
     np.testing.assert_allclose(np.asarray(raw), want,
                                atol=1e-6 * max(1.0, np.abs(want).max()))
 

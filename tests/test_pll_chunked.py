@@ -101,6 +101,29 @@ def test_chunked_scan_exact_when_guess_is_true_state():
     assert bool(end[0] == ref[0][0])
 
 
+def test_tier_diagnostic_exposed():
+    """The executed solver tier is visible (ADVICE r4): noise blocks of a
+    chunkable size report TIER_CHUNKED, a clean locked tone reports
+    TIER_LINEAR, and the probed receiver surfaces the value — so a silent
+    always-fallback regression (e.g. a compiler change breaking the
+    bitwise pass-1/pass-2 equality) turns up in metrics, not in lost
+    throughput."""
+    params, carry = fm.init(FS)
+    # noise -> linear solve invalid -> chunked tier validates
+    tier_noise = int(fm.last_tier(params, carry, _noise(2048, seed=5)))
+    assert tier_noise == fm.TIER_CHUNKED
+    # locked tone: run a warmup block first so the loop acquires
+    t = np.arange(4096) / FS
+    tone = jnp.asarray(np.exp(1j * 2 * np.pi * 150.0 * t)
+                       .astype(np.complex64) * 3000)
+    carry2, _ = fm.process(params, carry, tone[:2048])
+    tier_tone = int(fm.last_tier(params, carry2, tone[2048:]))
+    assert tier_tone == fm.TIER_LINEAR
+    # probed entry point carries it too
+    _, _, _, tier = fm.process_probed(params, carry, _noise(2048, seed=6))
+    assert int(tier) == fm.TIER_CHUNKED
+
+
 def test_fm_batch_noise_routes_through_chunked():
     """Bank path: all-noise bank validates the chunked tier and matches
     per-channel sequential scans at roundoff."""
