@@ -279,8 +279,18 @@ class _RadioSource:
         self._thread.join(timeout=5.0)
 
 
-def _cfg_from_args(args, probes: bool = False):
-    from cutesdr_tpu.design.latency import choose_fastfir_sizes
+def _cfg_from_args(args, probes: bool = False, readback_floor_s=None):
+    """Build the receiver config from CLI args.
+
+    ``readback_floor_s``: measured device→host readback round-trip; when
+    the chosen low-latency blocks are shorter than it, the audio queue
+    drains faster than it fills (every delivered block pays one readback
+    — the r4 silent-/audio.wav failure on the tunneled rig), so the
+    latency target is auto-raised with a printed explanation.  None =
+    measure it now (tests inject a fake floor)."""
+    from cutesdr_tpu.design.latency import (choose_fastfir_sizes,
+                                            ensure_realtime_blocks,
+                                            measure_readback_floor)
     from cutesdr_tpu.pipeline.receiver import ReceiverConfig
 
     cfg = ReceiverConfig(
@@ -312,6 +322,23 @@ def _cfg_from_args(args, probes: bool = False):
         print(f"latency target {target_ms} ms -> "
               f"fastfir {cfg.fastfir_nfft}/{cfg.fastfir_ntaps}",
               file=sys.stderr)
+        # self-defense against the D2H readback floor: a tunneled device's
+        # fixed per-readback latency can exceed the block duration, which
+        # starves the audio queue regardless of compute speed
+        floor = (measure_readback_floor() if readback_floor_s is None
+                 else readback_floor_s)
+        before = cfg.latency_sec
+        cfg, after = ensure_realtime_blocks(cfg, floor)
+        if after > before:
+            print(f"note: device readback floor measured at "
+                  f"{floor * 1e3:.1f} ms/block exceeds the "
+                  f"{before * 1e3:.1f} ms block budget — raising blocks to "
+                  f"{after * 1e3:.1f} ms "
+                  f"(frames_per_block={cfg.frames_per_block}, fastfir "
+                  f"{cfg.fastfir_nfft}/{cfg.fastfir_ntaps}) so audio "
+                  f"streams instead of starving; use --target-latency-ms 0 "
+                  f"to pick max-throughput sizes explicitly",
+                  file=sys.stderr)
     return cfg
 
 
@@ -901,7 +928,8 @@ def cmd_latency(args) -> int:
     """Print the per-component latency budget for a configuration."""
     from cutesdr_tpu.design.latency import latency_report
 
-    cfg = _cfg_from_args(args)
+    # pure report: skip the device readback-floor probe (floor 0 = no-op)
+    cfg = _cfg_from_args(args, readback_floor_s=0.0)
     rep = latency_report(cfg, include_queue=args.with_queue)
     print(json.dumps({
         "fastfir_nfft": cfg.fastfir_nfft, "fastfir_ntaps": cfg.fastfir_ntaps,

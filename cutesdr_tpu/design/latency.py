@@ -40,6 +40,54 @@ MIN_NFFT = 128           # smallest overlap-save frame worth dispatching
 MAX_NFFT = 32768
 
 
+def measure_readback_floor(reps: int = 3) -> float:
+    """One device→host readback round-trip (seconds, median of ``reps``).
+
+    On locally-attached chips this is microseconds; through a remote
+    tunnel (the axon rig) it is a fixed ~25-40 ms — larger than a 10 ms
+    audio block, so a low-latency config starves the audio queue no
+    matter how fast the chip is.  serve/run call this at startup and
+    auto-raise the latency target when the floor demands it
+    (ensure_realtime_blocks) instead of streaming silence."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(f(x)))              # compile + first transfer
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(x)))          # readback IS the fence
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def ensure_realtime_blocks(cfg: "ReceiverConfig", floor_s: float,
+                           margin: float = 2.0) -> tuple["ReceiverConfig", float]:
+    """Grow the block until its real-time duration covers the measured
+    device→host readback floor (every delivered block pays one readback,
+    so blocks shorter than the floor drain the audio queue faster than
+    they fill it — the r4 'silent /audio.wav' failure).  Returns
+    (possibly-modified cfg, per-block seconds after the fix); prints
+    nothing — the caller reports what was chosen and why."""
+    need = floor_s * margin
+    if cfg.latency_sec >= need:
+        return cfg, cfg.latency_sec
+    cand = cfg
+    # prefer more frames per step (same filter sharpness, pure batching);
+    # fall back to larger frames if the cap is hit
+    while cand.latency_sec < need and cand.frames_per_block < 256:
+        cand = replace(cand, frames_per_block=cand.frames_per_block * 2)
+    while cand.latency_sec < need and cand.fastfir_nfft < MAX_NFFT:
+        nfft = cand.fastfir_nfft * 2
+        cand = replace(cand, fastfir_nfft=nfft, fastfir_ntaps=nfft // 2 + 1)
+    return cand, cand.latency_sec
+
+
 def latency_report(cfg: "ReceiverConfig", include_queue: bool = False) -> dict:
     """Per-component latency (seconds) for a configuration."""
     fs_in, fs_out = cfg.input_rate, cfg.output_rate

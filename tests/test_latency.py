@@ -117,6 +117,44 @@ def test_ten_ms_operating_point_golden():
     assert snr > 40.0, snr
 
 
+def test_ensure_realtime_blocks_escalates_on_slow_readback():
+    """The D2H-floor self-defense (VERDICT r4 #3): with a fake 30 ms
+    readback floor, a ~10 ms-block config must escalate until one block
+    covers floor*margin; with a microsecond floor it must be untouched."""
+    from cutesdr_tpu.design.latency import ensure_realtime_blocks
+    cfg = ReceiverConfig(input_rate=2_000_000.0, mode="usb")
+    small = choose_fastfir_sizes(cfg, 10e-3)
+    assert small.latency_sec < 30e-3
+    grown, after = ensure_realtime_blocks(small, 30e-3)
+    assert after >= 2 * 30e-3
+    assert grown.latency_sec == after
+    # sharpness (filter sizes) preferred unchanged: escalation batches
+    # frames first
+    assert grown.fastfir_nfft == small.fastfir_nfft
+    untouched, after2 = ensure_realtime_blocks(small, 5e-6)
+    assert untouched == small and after2 == small.latency_sec
+
+
+def test_cli_config_self_defends_against_readback_floor(capsys):
+    """cli run/serve configs must auto-raise the latency target when the
+    injected readback floor would starve the audio queue, and say so."""
+    import argparse
+    from cutesdr_tpu.cli import _cfg_from_args
+    args = argparse.Namespace(
+        fs=2_000_000.0, mode="usb", freq=100_000.0, low_cut=None,
+        hi_cut=None, cw_offset=0.0, agc_off=False, nb_on=False,
+        nb_threshold=0.0, nb_width_us=100.0, squelch=0,
+        fm_deemphasis_us=0.0, stereo=False, front_dtype="f32",
+        target_latency_ms=-1.0)
+    cfg = _cfg_from_args(args, readback_floor_s=30e-3)
+    assert cfg.latency_sec >= 60e-3
+    err = capsys.readouterr().err
+    assert "readback floor" in err and "raising blocks" in err
+    # fast attached-hardware floor: the 10 ms default survives
+    cfg2 = _cfg_from_args(args, readback_floor_s=10e-6)
+    assert cfg2.latency_sec <= 12e-3
+
+
 def test_choose_fastfir_sizes_unreachable_target_raises():
     cfg = ReceiverConfig(input_rate=100_000.0, mode="usb")
     with pytest.raises(ValueError, match="unreachable"):
