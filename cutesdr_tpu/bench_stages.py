@@ -45,7 +45,9 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
-REPS = 3
+REPS = 5      # r5: >=5 reps so per-stage shares carry intervals (the r4
+              # subtraction of two single best-of fits produced negative
+              # shares — differencing noise exceeded small stage costs)
 
 
 def fence(out):
@@ -58,12 +60,13 @@ def fence(out):
     return float(jnp.real(jnp.sum(leaf)))
 
 
-def slope_time(step, params, state, re, im, k1=2, k2=8, reps=REPS):
-    """Best-of-reps seconds/step via the two-length slope, state chained."""
+def slope_times(step, params, state, re, im, k1=2, k2=8, reps=REPS):
+    """Per-rep seconds/step via the two-length slope, state chained.
+    Returns the full list so callers can form medians AND intervals."""
     out = step(params, state, re, im)
     fence(out[1])
     s0 = out[0]
-    best = None
+    slopes = []
     for _ in range(reps):
         ts = {}
         for k in (k1, k2):
@@ -74,9 +77,27 @@ def slope_time(step, params, state, re, im, k1=2, k2=8, reps=REPS):
                 s = o[0]
             fence(o[1])
             ts[k] = time.perf_counter() - t0
-        per = (ts[k2] - ts[k1]) / (k2 - k1)
-        best = per if best is None else min(best, per)
-    return best
+        slopes.append((ts[k2] - ts[k1]) / (k2 - k1))
+    return slopes
+
+
+def slope_time(step, params, state, re, im, k1=2, k2=8, reps=REPS):
+    """Median seconds/step (back-compat wrapper around slope_times)."""
+    s = sorted(slope_times(step, params, state, re, im, k1, k2, reps))
+    return s[len(s) // 2]
+
+
+def _share_stats(ta, tb):
+    """Distribution of the stage cost t_a - t_b from two rep lists: median
+    of all cross-pair differences, clamped at 0 (a stage cannot cost
+    negative time — the r4 artifact), with the raw [lo, hi] interval kept
+    so a clamp is visible rather than silent."""
+    diffs = sorted(a - b for a in ta for b in tb)
+    med = diffs[len(diffs) // 2]
+    return {"ms": round(max(med, 0.0) * 1e3, 4),
+            "ms_interval": [round(diffs[0] * 1e3, 4),
+                            round(diffs[-1] * 1e3, 4)],
+            "clamped": med < 0.0}
 
 
 def make_variants(cfg):
@@ -140,6 +161,41 @@ def make_variants(cfg):
             "full": jax.jit(full)}
 
 
+def make_serve_variant(cfg):
+    """The serve-path step: probes-enabled receiver + one display-FFT
+    accumulate per block — the cost the reference's ProcessIQData always
+    pays (testbench hook -> FFT display accumulate -> demod,
+    interface/sdrinterface.cpp:895-908).  One 4096-pt accumulate per block
+    matches the throttled display rate (the flagship 131 ms block vs the
+    reference's <=10 updates/s, sdrinterface.cpp:112-114)."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from cutesdr_tpu.pipeline import receiver as rx
+    from cutesdr_tpu.pipeline import spectrum as sp
+
+    pcfg = replace(cfg, probes=True)
+    params, state = rx.init(pcfg)
+    scfg = sp.SpectrumConfig(fft_size=4096, ave_size=4,
+                             sample_rate=cfg.input_rate)
+    sstate = sp.init(scfg)
+
+    def serve_step(p, s, re, im):
+        rstate, spstate = s
+        iq = jax.lax.complex(re, im)
+        ns, out = rx.receiver_step(pcfg, p, rstate, iq)
+        sps, _ = sp.accumulate(scfg, spstate, iq[:scfg.fft_size])
+        # fence value touches the audio, a probe leaf, and the spectrum
+        # average so no branch is dead-code-eliminated
+        probe_leaf = jax.tree_util.tree_leaves(out.probes)[0]
+        val = (jnp.sum(out.audio) + jnp.real(jnp.sum(probe_leaf))
+               + jnp.sum(sps.pwr_ave))
+        return (ns, sps), val
+
+    return jax.jit(serve_step), params, (state, sstate)
+
+
 def run_budget(frames_per_block=256, k1=2, k2=8,
                input_rate=2_000_000.0, mode="usb", name="usb2m"):
     import jax
@@ -163,34 +219,60 @@ def run_budget(frames_per_block=256, k1=2, k2=8,
           f"decimator={cfg.decimator_impl} fastfir={cfg.fastfir_impl}",
           file=sys.stderr)
 
-    rows = {}
+    dists = {}
     for vname, step in make_variants(cfg).items():
-        t = slope_time(step, params, state, re, im, k1, k2)
-        rows[vname] = t
-        print(f"{vname:>8}: {t * 1e3:8.3f} ms/step  "
-              f"({cfg.block_size / t / 1e6:8.1f} Msps)", file=sys.stderr)
+        ts = slope_times(step, params, state, re, im, k1, k2)
+        dists[vname] = ts
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{vname:>8}: {med * 1e3:8.3f} ms/step  "
+              f"[{min(ts) * 1e3:.3f}, {max(ts) * 1e3:.3f}]  "
+              f"({cfg.block_size / med / 1e6:8.1f} Msps)", file=sys.stderr)
 
+    # serve-path row: probes-enabled receiver + display FFT (the cost the
+    # reference always pays in ProcessIQData) — absolute, not a share
+    sstep, sparams, sstate = make_serve_variant(cfg)
+    ts = slope_times(sstep, sparams, sstate, re, im, k1, k2)
+    serve_med = sorted(ts)[len(ts) // 2]
+    print(f"{'serve':>8}: {serve_med * 1e3:8.3f} ms/step  "
+          f"[{min(ts) * 1e3:.3f}, {max(ts) * 1e3:.3f}]  "
+          f"({cfg.block_size / serve_med / 1e6:8.1f} Msps)", file=sys.stderr)
+    dists["serve"] = ts
+
+    zero = [0.0] * len(dists["mixdec"])
     shares = {
-        "mix_decimate": rows["mixdec"],
-        "channel_filter": rows["front"] - rows["mixdec"],
-        "smeter_agc": rows["levels"] - rows["front"],
-        "demod": rows["demod"] - rows["levels"],
-        "resample_tail": rows["full"] - rows["demod"],
+        "mix_decimate": _share_stats(dists["mixdec"], zero),
+        "channel_filter": _share_stats(dists["front"], dists["mixdec"]),
+        "smeter_agc": _share_stats(dists["levels"], dists["front"]),
+        "demod": _share_stats(dists["demod"], dists["levels"]),
+        "resample_tail": _share_stats(dists["full"], dists["demod"]),
+        "display_probes": _share_stats(dists["serve"], dists["full"]),
     }
-    total = rows["full"]
+    meds = {k: sorted(v)[len(v) // 2] for k, v in dists.items()}
+    total = meds["full"]
     budget = {
         "config": f"stage_budget_{name}",
         "frames_per_block": frames_per_block,
         "block": cfg.block_size,
         "fence": "d2h_slope",
-        "ms_per_step": {k: round(v * 1e3, 4) for k, v in rows.items()},
-        "stage_share_pct": {k: round(100 * v / total, 1)
+        "reps": len(dists["full"]),
+        "ms_per_step": {k: round(v * 1e3, 4) for k, v in meds.items()},
+        "stage_ms": shares,
+        "stage_share_pct": {k: round(100 * (v["ms"] / 1e3) / total, 1)
                             for k, v in shares.items()},
         "full_iq_msps": round(cfg.block_size / total / 1e6, 1),
+        "serve_iq_msps": round(cfg.block_size / meds["serve"] / 1e6, 1),
+        "note": ("shares from median of all cross-pair slope differences "
+                 "over >=5 reps; clamped-at-0 stages keep their raw "
+                 "interval in stage_ms (r4's negative shares were "
+                 "differencing noise); display_probes = serve-path extra "
+                 "(probes program + one 4096-pt display accumulate/block)"),
     }
     print("stage shares of the full step:", file=sys.stderr)
     for k, v in budget["stage_share_pct"].items():
-        print(f"  {k:>16}: {v:6.1f} %", file=sys.stderr)
+        iv = shares[k]["ms_interval"]
+        flag = "  (clamped from <0)" if shares[k]["clamped"] else ""
+        print(f"  {k:>16}: {v:6.1f} %  [{iv[0]:.3f}, {iv[1]:.3f}] ms{flag}",
+              file=sys.stderr)
     return budget
 
 
