@@ -265,9 +265,14 @@ def _hang_decay_parallel(p: AgcParams, d0, timer0, peak, n_iters,
     NOTE: unlike the two-rate solver, exact ties (pk == d[n-1]) canNOT be
     forgiven in the validity check — the branch choice at a tie resets the
     hang TIMER even when the value is unchanged, so a tie mismatch alters
-    future hold windows.  Choppy peak series may therefore fail to
-    validate and take the sequential-scan fallback; hang mode is off by
-    default (the reference's AgcHangOn) and smooth envelopes converge."""
+    future hold windows.  The check is therefore EXACT pattern equality.
+    Measured r5 (tests/test_ops.py::test_agc_hang_parallel_is_steady_state):
+    that strictness does NOT push choppy envelopes onto the scan fallback
+    — 0 fallbacks over choppy random walks, hard on/off keying, tie-dense
+    quantized plateaus and speech-like AM, because an exact tie resolves
+    identically in both pattern derivations (pk > d is False either way;
+    there is no branch to flip).  The parallel trajectory tracks the scan
+    within f32 associative-solve roundoff (~2e-4 decades = 0.004 dB)."""
     pattern0 = peak > _shift1(peak, d0)
 
     def body(carry):

@@ -217,6 +217,57 @@ def test_agc_matches_oracle(rng, use_hang):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_agc_hang_parallel_is_steady_state():
+    """VERDICT r4 #4a: the hang-mode parallel solve must BE the steady
+    state, not the scan fallback.  Across envelope classes chosen to
+    stress its validity check — choppy random walks, hard on/off keying,
+    tie-dense quantized plateaus, rectified speech-like AM — every block
+    must validate (exact ties resolve identically in both pattern
+    derivations: pk > d is False either way, so no flip-flop), and the
+    parallel trajectory must match the sequential scan within f32
+    associative-solve roundoff (~2e-4 decades = 0.004 dB of gain)."""
+    import jax
+    from cutesdr_tpu.ops.util import sliding_window_max
+    fs = 62500.0
+    cfg = agc.AgcConfig(agc_on=True, use_hang=True, sample_rate=fs)
+    p = agc.make_params(cfg, -90.0, 30.0, 100.0, 50.0)
+
+    @jax.jit
+    def check(carry, m):
+        peak, tail = sliding_window_max(m, cfg.window_samples,
+                                        carry.mag_tail)
+        par, valid = agc._averager_parallel(cfg, p, carry, peak)
+        sa, sd, st, smag = agc._averager_scan(cfg, p, carry, peak)
+        err = jnp.max(jnp.abs(par[3] - smag))
+        new = carry._replace(mag_tail=tail, attack_ave=sa, decay_ave=sd,
+                             hang_timer=st)
+        return valid, err, new
+
+    n, bs = 4096 * 6, 4096
+    t_ = np.arange(n) / fs
+    rng0 = np.random.default_rng(0)
+    envs = [
+        np.clip(-3 + 0.7 * np.cumsum(rng0.standard_normal(n)) / np.sqrt(n)
+                + 0.4 * rng0.standard_normal(n), -8, 0),
+        np.where((np.arange(n) // 1500) % 2 == 0, -1.0, -7.0)
+        + 0.01 * rng0.standard_normal(n),
+        np.clip(np.round(4 * np.cumsum(rng0.standard_normal(n))
+                         / np.sqrt(n)) / 4 - 3, -8, 0),
+        -3 + 2 * np.sign(np.sin(2 * np.pi * 5 * t_))
+        * np.abs(np.sin(2 * np.pi * 1.3 * t_)),
+    ]
+    fallbacks, maxerr = 0, 0.0
+    for mag in envs:
+        mag = mag.astype(np.float32)
+        carry = agc.init_carry(cfg, complex_input=False)
+        for b in range(n // bs):
+            v, e, carry = check(carry, jnp.asarray(mag[b * bs:(b + 1) * bs]))
+            fallbacks += int(not bool(v))
+            maxerr = max(maxerr, float(e))
+    assert fallbacks == 0, f"{fallbacks} blocks fell back to the scan"
+    assert maxerr < 1e-3, maxerr
+
+
 def test_agc_manual_mode(rng):
     cfg = agc.AgcConfig(agc_on=False, use_hang=False, sample_rate=15625.0)
     p = agc.make_params(cfg, -100.0, 40.0, 0.0, 200.0, F64)
