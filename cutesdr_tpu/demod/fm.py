@@ -161,13 +161,28 @@ def _wrap_pi(e):
     return e - K_2PI * jnp.round(e / K_2PI)
 
 
-def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array):
+def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array,
+              fast: bool = False):
     # The phase detector atan2(x·e^{jφ}) equals wrap(arg(x) + φ), so the
     # per-sample arg(x) vectorizes over the whole block on the VPU and the
     # serial recurrence is pure arithmetic — ~4× faster than rotating and
     # atan2-ing inside the scan, and numerically equivalent (φ is even
     # wrapped every step instead of once per block as in the reference,
     # dsp/fmdemod.cpp:189).
+    #
+    # fast=True (single-stream TPU call sites only — the kernel's SMEM
+    # state is not vmappable) routes the identical recurrence through the
+    # scalar-core loop kernel (kernels/seqloop, ~100x the XLA scan's
+    # ~2.8 us/iteration serialized-VPU floor).
+    if fast:
+        from cutesdr_tpu.kernels import seqloop
+        if seqloop.use_kernel(theta):
+            phase, freq, dc, audio, err = seqloop.fm_pll_scan(
+                params.pll_alpha, params.pll_beta, params.nco_limit,
+                params.out_gain, params.dc_alpha, carry.nco_phase,
+                carry.nco_freq, carry.freq_error_dc, theta)
+            return phase, freq, dc, audio, err
+
     def step(c, th):
         phase, freq, dc = c
         err = -_wrap_pi(th + phase)
@@ -269,7 +284,7 @@ def _pll(params: FmParams, carry: FmCarry, x: jax.Array):
 
     def run_scan(_):
         return (jnp.asarray(TIER_SCAN, jnp.int32),
-                _pll_scan(params, carry, theta))
+                _pll_scan(params, carry, theta, fast=True))
 
     if not _chunkable(theta.shape[-1]):
         return lax.cond(valid, take_linear, run_scan, None)

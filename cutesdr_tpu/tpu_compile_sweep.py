@@ -78,7 +78,45 @@ def main(argv=None) -> int:
         except Exception as e:
             fails += 1
             print(f"{name:16s} FAILED: {str(e)[:200]}", flush=True)
-    n = len(build_configs())
+    # scalar-core sequential kernels (r5): the receiver configs above
+    # compile them inside the tier conds, but zeros input never EXECUTES
+    # the scan tier — drive them directly and check against the XLA scan
+    # (kernels/seqloop; catches scalar-op legality AND runtime numerics)
+    t0 = time.perf_counter()
+    try:
+        import jax.numpy as jnp
+
+        from cutesdr_tpu.demod import fm, sam
+        from cutesdr_tpu.kernels import seqloop
+        rng = np.random.default_rng(0)
+        n = 4096
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             * 3000).astype(np.complex64)
+        re = jnp.asarray(x.real)
+        im = jnp.asarray(x.imag)
+        theta = jax.jit(lambda r, i: jnp.arctan2(i, r))(re, im)
+        p, c = fm.init(62500.0)
+        want = fm._pll_scan(p, c, theta)
+        got = seqloop.fm_pll_scan(
+            p.pll_alpha, p.pll_beta, p.nco_limit, p.out_gain, p.dc_alpha,
+            c.nco_phase, c.nco_freq, c.freq_error_dc, theta)
+        da = float(jnp.max(jnp.abs(want[3] - got[3])))
+        scale = float(jnp.max(jnp.abs(want[3]))) + 1e-30
+        assert da / scale < 1e-5, f"fm audio diff {da / scale:g}"
+        ps, cs = sam.init(62500.0)
+        wants = sam._pll_scan(ps, cs, theta)
+        gots = seqloop.sam_pll_scan(ps.pll_alpha, ps.pll_beta,
+                                    ps.nco_limit, cs.nco_phase,
+                                    cs.nco_freq, theta)
+        dp = float(jnp.max(jnp.abs(wants[2] - gots[2])))
+        assert dp < 1e-4, f"sam prev diff {dp:g}"
+        print(f"{'seqloop-exec':16s} fm/sam vs XLA scan OK "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    except Exception as e:
+        fails += 1
+        print(f"{'seqloop-exec':16s} FAILED: {str(e)[:200]}", flush=True)
+
+    n = len(build_configs()) + 1
     print(f"sweep: {n - fails}/{n} configs within budget", flush=True)
     return 1 if fails else 0
 

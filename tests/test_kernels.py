@@ -494,3 +494,56 @@ def test_bank_receiver_pallas_fastfir_matches_xla(rng):
     a, b = np.asarray(ox.audio), np.asarray(op.audio)
     scale = np.abs(a).max() + 1e-30
     np.testing.assert_allclose(b, a, atol=2e-4 * scale)
+
+
+def test_seqloop_fm_matches_xla_scan():
+    """kernels/seqloop.fm_pll_scan (scalar-core sequential loop) runs the
+    identical recurrence as demod/fm._pll_scan: err series exact, state
+    and audio within f32 FMA-reassociation roundoff, including
+    non-multiple-of-tile lengths and chained blocks."""
+    from cutesdr_tpu.demod import fm
+    from cutesdr_tpu.kernels import seqloop
+
+    fs = 62500.0
+    p, c = fm.init(fs)
+    rng = np.random.default_rng(3)
+    for n in (512, 1024, 1500, 4096):
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             * 3000).astype(np.complex64)
+        theta = jnp.arctan2(jnp.imag(jnp.asarray(x)),
+                            jnp.real(jnp.asarray(x)))
+        ph, fr, dc, audio, err = fm._pll_scan(p, c, theta)
+        ph2, fr2, dc2, audio2, err2 = seqloop.fm_pll_scan(
+            p.pll_alpha, p.pll_beta, p.nco_limit, p.out_gain, p.dc_alpha,
+            c.nco_phase, c.nco_freq, c.freq_error_dc, theta,
+            interpret=True)
+        assert float(jnp.max(jnp.abs(err - err2))) == 0.0, n
+        scale = float(jnp.max(jnp.abs(audio))) + 1e-30
+        assert float(jnp.max(jnp.abs(audio - audio2))) / scale < 1e-6, n
+        assert abs(float(ph - ph2)) < 1e-5 and abs(float(fr - fr2)) < 1e-6
+        # chain: state carries on to the next block consistently
+        c = c._replace(nco_phase=ph2, nco_freq=fr2, freq_error_dc=dc2)
+
+
+def test_seqloop_sam_matches_xla_scan():
+    """kernels/seqloop.sam_pll_scan vs demod/sam._pll_scan: the emitted
+    pre-update phase sequence and final state are bitwise equal in
+    interpret mode (identical op order; no reassociation in this body)."""
+    from cutesdr_tpu.demod import sam
+    from cutesdr_tpu.kernels import seqloop
+
+    fs = 62500.0
+    p, c = sam.init(fs)
+    rng = np.random.default_rng(4)
+    for n in (512, 2048, 3000):
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             * 3000).astype(np.complex64)
+        theta = jnp.arctan2(jnp.imag(jnp.asarray(x)),
+                            jnp.real(jnp.asarray(x)))
+        ph, fr, prev = sam._pll_scan(p, c, theta)
+        ph2, fr2, prev2 = seqloop.sam_pll_scan(
+            p.pll_alpha, p.pll_beta, p.nco_limit, c.nco_phase,
+            c.nco_freq, theta, interpret=True)
+        assert float(jnp.max(jnp.abs(prev - prev2))) == 0.0, n
+        assert float(ph) == float(ph2) and float(fr) == float(fr2)
+        c = c._replace(nco_phase=ph2, nco_freq=fr2)
