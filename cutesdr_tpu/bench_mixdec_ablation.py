@@ -1,0 +1,201 @@
+"""Mixdec front-end ablation: which unit actually sets its speed?
+
+VERDICT r4 #1: kernels/mixdec claims to chase an ~8.3 B/sample HBM bound
+but its honest 16.6 GSPS is ~140 GB/s — ~6x under v5e HBM — and nothing
+measured WHICH unit saturates.  This harness times slope-fenced ablation
+variants of the production kernel (the stage= instrumentation in
+mixdec._compute):
+
+  dma     — window DMAs + one lane reduction (no oscillator, no matmul)
+  phase   — + oscillator outer product and complex mix (no matmul)
+  matmul  — + matmul and band sum (oscillator skipped)
+  full    — the production kernel
+
+and derives the per-unit decomposition by subtraction, alongside
+analytic utilization ceilings (HBM bytes, MXU flops at the chosen
+precision, VPU ops).  A tile-size sweep and a dot-precision sweep
+close out the two candidate levers.
+
+Timing is the r4 D2H-slope fence (see bench_stages docstring — the only
+honest fence through the axon tunnel).
+
+Usage:  python -m cutesdr_tpu.bench_mixdec_ablation [--block N]
+Writes a "mixdec_ablation" entry into BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPS = 5
+V5E_HBM_GBS = 819.0          # chip spec; relative shares are the product,
+V5E_MXU_BF16_TFLOPS = 197.0  # absolute utilizations are context
+
+
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def _slope(step, args, k1=2, k2=10):
+    import jax.numpy as jnp
+    out = step(*args)
+    float(jnp.sum(out[1]))
+    carry0 = out[0]
+    slopes = []
+    for _ in range(REPS):
+        ts = {}
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            c = carry0
+            for _ in range(k):
+                c, y = step(args[0], c, *args[2:])
+            float(jnp.sum(y))
+            ts[k] = time.perf_counter() - t0
+        slopes.append((ts[k2] - ts[k1]) / (k2 - k1))
+    slopes.sort()
+    return slopes[len(slopes) // 2], slopes
+
+
+def _make_step(md):
+    import jax
+    import jax.numpy as jnp
+
+    def step(params, carry, re, im, dc):
+        c, y = md.process_planes(params, carry, re, im, dc)
+        # fence value: f32 magnitude (complex64 D2H wedges the tunnel)
+        return c, jnp.abs(y.real) + jnp.abs(y.imag)
+
+    return jax.jit(step)
+
+
+def run(block=8_388_608, input_rate=2e6, tune=100e3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutesdr_tpu.design.decimation_plan import plan_decimation
+    from cutesdr_tpu.kernels.mixdec import MixDecimate
+
+    plan = plan_decimation(input_rate, 2800.0)
+    D = plan.decimation
+    print(f"plan: x{D}, {len(plan.composed_taps())} composed taps, "
+          f"block {block}", file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    re = jax.device_put(jnp.asarray(
+        (rng.standard_normal(block) * 300).astype(np.float32)))
+    im = jax.device_put(jnp.asarray(
+        (rng.standard_normal(block) * 300).astype(np.float32)))
+    dc = jnp.complex64(0)
+
+    def time_variant(**kw):
+        md = MixDecimate(plan, tune, **kw)
+        step = _make_step(md)
+        params, carry = md.params, md.init_carry()
+        med, slopes = _slope(step, (params, carry, re, im, dc))
+        return md, med, slopes
+
+    rows = {}
+    for stage in ("dma", "phase", "matmul", "full"):
+        md, med, slopes = time_variant(stage=stage)
+        gsps = block / med / 1e9
+        rows[stage] = {"ms": round(med * 1e3, 3),
+                       "gsps": round(gsps, 1),
+                       "ms_all": [round(s * 1e3, 3) for s in slopes]}
+        print(f"{stage:>7}: {med * 1e3:7.3f} ms  {gsps:6.1f} GSPS",
+              file=sys.stderr)
+
+    # analytic ceilings for the full variant
+    md = MixDecimate(plan, tune)
+    lane, R, C, TO4 = md.lane, md.R, md.C, md.TO4
+    m_rows = -(-(TO4 + C - 1 + md.base_off) // 8) * 8
+    tiles = block // (TO4 * lane)
+    # HBM: in-window DMAs (overlap by halo) + decimated out
+    bytes_total = tiles * (2 * m_rows * lane * 4) + (block // D) * 8
+    # MXU: padded matmul flops (2 planes), x3 passes under HIGHEST
+    ncols = md.w4.shape[1]
+    flops = tiles * 2 * 2 * m_rows * lane * ncols
+    t_full = rows["full"]["ms"] / 1e3
+    hbm_gbs = bytes_total / t_full / 1e9
+    mxu_tflops = flops / t_full / 1e12
+    decomp = {
+        "dma_ms": rows["dma"]["ms"],
+        "oscillator_mix_ms": round(rows["phase"]["ms"] - rows["dma"]["ms"],
+                                   3),
+        "matmul_bandsum_ms": round(rows["matmul"]["ms"] - rows["dma"]["ms"],
+                                   3),
+        "full_ms": rows["full"]["ms"],
+        "sum_vs_full": round((rows["phase"]["ms"] + rows["matmul"]["ms"]
+                              - rows["dma"]["ms"]) / rows["full"]["ms"], 2),
+    }
+    util = {
+        "hbm_gb_s": round(hbm_gbs, 1),
+        "hbm_util_pct": round(100 * hbm_gbs / V5E_HBM_GBS, 1),
+        "mxu_flops_tf": round(mxu_tflops, 1),
+        "mxu_util_pct_highest3pass": round(
+            100 * mxu_tflops * 3 / V5E_MXU_BF16_TFLOPS, 1),
+        "note": ("hbm bytes = window DMAs (halo-overlapped) + decimated "
+                 "out; mxu flops = the PADDED matmul both planes; "
+                 "HIGHEST = 3 bf16 passes"),
+    }
+    print(f"decomposition: {decomp}", file=sys.stderr)
+    print(f"utilization:   {util}", file=sys.stderr)
+
+    # lever sweeps on the full kernel
+    sweeps = {}
+    for tile in (256, 512, 1024, 2048):
+        try:
+            _, med, _ = time_variant(tile_out=tile)
+            sweeps[f"tile_{tile}"] = {"ms": round(med * 1e3, 3),
+                                      "gsps": round(block / med / 1e9, 1)}
+            print(f"tile {tile:5d}: {med * 1e3:7.3f} ms "
+                  f"{block / med / 1e9:6.1f} GSPS", file=sys.stderr)
+        except Exception as e:
+            sweeps[f"tile_{tile}"] = {"error": str(e)[:120]}
+    for prec in ("DEFAULT", "HIGH", "HIGHEST"):
+        _, med, _ = time_variant(dot_precision=getattr(jax.lax.Precision,
+                                                       prec))
+        sweeps[f"prec_{prec}"] = {"ms": round(med * 1e3, 3),
+                                  "gsps": round(block / med / 1e9, 1)}
+        print(f"prec {prec:8s}: {med * 1e3:7.3f} ms "
+              f"{block / med / 1e9:6.1f} GSPS", file=sys.stderr)
+
+    return {"config": "mixdec_ablation", "block": block,
+            "plan_decimation": D, "fence": "d2h_slope", "reps": REPS,
+            "stages": rows, "decomposition_ms": decomp,
+            "utilization": util, "sweeps": sweeps}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block", type=int, default=8_388_608)
+    args = ap.parse_args(argv)
+    _enable_compile_cache()
+    import jax
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    row = run(args.block)
+    print(json.dumps(row))
+    details_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
+    details = []
+    if os.path.exists(details_path):
+        with open(details_path) as f:
+            details = json.load(f)
+    details = [d for d in details if d.get("config") != row["config"]]
+    details.append(row)
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1)
+    print("updated BENCH_DETAILS.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,11 +59,27 @@ LANE = 128
 
 def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
              *, TO4, R, C, halo_rows, lane, wide_cols, m_rows,
-             base_off=0, band_roll=False):
+             base_off=0, band_roll=False, stage="full",
+             dot_precision=_DOT_PRECISION):
     """Shared mix+decimate body on a filled [m_rows, lane] scratch pair.
     zr/zi hold z rows [i*TO4, i*TO4 + m_rows) of the tail||input stream;
     dcr/dci is the NCO-spur DC cal subtracted in place (free against the
-    oscillator multiply)."""
+    oscillator multiply).
+
+    ``stage`` (ablation instrumentation, bench_mixdec_ablation — VERDICT
+    r4 #1): 'dma' touches the DMA'd window and skips all compute;
+    'phase' runs the oscillator+mix but replaces the matmul with a lane
+    reduction; 'matmul' runs the matmul+band-sum on the raw window with
+    the oscillator skipped; 'full' (production) runs everything."""
+    if stage == "dma":
+        # cheapest op that still depends on every DMA'd row so nothing
+        # is dead-code-eliminated: one lane reduction per plane
+        acc_re = jnp.sum(zr, axis=1, keepdims=True)
+        acc_im = jnp.sum(zi, axis=1, keepdims=True)
+        for r in range(R):
+            y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
+            y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
+        return
     # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*lane + q, so the
     # DDS phase splits exactly (uint32 wraparound algebra) into a per-ROW
     # part and a per-LANE part, and the oscillator is the outer product
@@ -89,17 +105,29 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
 
     zr = zr - dcr
     zi = zi - dci
-    mre = zr * osc_re - zi * osc_im
-    mim = zr * osc_im + zi * osc_re
+    if stage == "matmul":
+        mre, mim = zr, zi                    # oscillator skipped
+    else:
+        mre = zr * osc_re - zi * osc_im
+        mim = zr * osc_im + zi * osc_re
+    if stage == "phase":
+        # oscillator + mix done; replace the matmul/band-sum with one
+        # lane reduction so only the MXU term is removed
+        acc_re = jnp.sum(mre, axis=1, keepdims=True)
+        acc_im = jnp.sum(mim, axis=1, keepdims=True)
+        for r in range(R):
+            y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
+            y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
+        return
 
     # precision=HIGHEST: TPU f32 dots default to ONE bf16 pass
     # (preferred_element_type only sets the accumulator), which costs
     # ~1.4e-4 relative on the decimated stream (-77 dB, measured
     # on-chip at D=256) — the same floor fastfir4's _cmatmul hit
     pre = jnp.dot(mre, w4, preferred_element_type=jnp.float32,
-                  precision=_DOT_PRECISION)
+                  precision=dot_precision)
     pim = jnp.dot(mim, w4, preferred_element_type=jnp.float32,
-                  precision=_DOT_PRECISION)
+                  precision=dot_precision)
 
     if wide_cols:
         # wide-row (R=1) band sum without column extraction: tap band
@@ -179,7 +207,8 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
             w4_ref,                 # VMEM [lane, R*C] residue tap matrix
             y_ref,                  # VMEM out [2R, TO4]
             *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE,
-            wide_cols: int = 0, base_off: int = 0, band_roll: bool = False):
+            wide_cols: int = 0, base_off: int = 0, band_roll: bool = False,
+            stage: str = "full", dot_precision=_DOT_PRECISION):
     # VMEM scratch rows must be 8-aligned (Mosaic tiling); the extra rows
     # read zero padding and feed matmul rows that are never summed
     m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
@@ -199,7 +228,8 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
                  jnp.float32(0.0), jnp.float32(0.0), w4_ref[:], y_ref,
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
                  wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
-                 band_roll=band_roll)
+                 band_roll=band_roll, stage=stage,
+                 dot_precision=dot_precision)
 
     pl.run_scoped(
         body,
@@ -219,7 +249,8 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
                    sem,                  # DMA sems [slot, plane]
                    *, TO4: int, R: int, C: int, halo_rows: int,
                    lane: int, wide_cols: int, rows_x: int,
-                   base_off: int = 0, band_roll: bool = False):
+                   base_off: int = 0, band_roll: bool = False,
+                   stage: str = "full", dot_precision=_DOT_PRECISION):
     """Plane-native, double-buffered variant: the carried raw tail
     arrives as its OWN small buffer and the block input as the session's
     re/im f32 planes, so the caller materializes NO concatenated/split
@@ -320,7 +351,8 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
                  dc_ref[0], dc_ref[1], w4_ref[:], y_ref,
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
                  wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
-                 band_roll=band_roll)
+                 band_roll=band_roll, stage=stage,
+                 dot_precision=dot_precision)
 
     if n_tiles == 1:
         finish(zr0, zi0, 0)
@@ -357,7 +389,8 @@ class MixDecimate:
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
                  tile_out: int = 512, interpret: bool = False,
-                 wide: bool = True, band_roll: bool = True):
+                 wide: bool = True, band_roll: bool = True,
+                 stage: str = "full", dot_precision=_DOT_PRECISION):
         from cutesdr_tpu.ops import nco as nco_ops
 
         self.plan = plan
@@ -431,6 +464,8 @@ class MixDecimate:
         self.TO = tile_out                   # output samples per tile
         self.TO4 = tile_out // self.R        # output columns per residue row
         self.interpret = interpret
+        self.stage = stage                  # ablation instrumentation
+        self.dot_precision = dot_precision
         self._nco = nco_ops
         self.params = MixDecParams(
             w4=jnp.asarray(w4, jnp.float32),
@@ -474,7 +509,9 @@ class MixDecimate:
                                    halo_rows=self.halo_rows, lane=lane,
                                    wide_cols=self.wide_cols,
                                    base_off=self.base_off,
-                                   band_roll=self.band_roll)
+                                   band_roll=self.band_roll,
+                                   stage=self.stage,
+                                   dot_precision=self.dot_precision)
         y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -539,7 +576,9 @@ class MixDecimate:
                                    halo_rows=self.halo_rows, lane=lane,
                                    wide_cols=self.wide_cols, rows_x=rows_x,
                                    base_off=self.base_off,
-                                   band_roll=self.band_roll)
+                                   band_roll=self.band_roll,
+                                   stage=self.stage,
+                                   dot_precision=self.dot_precision)
         buf = pltpu.VMEM((m_rows, lane), jnp.float32)
         y4 = pl.pallas_call(
             kernel,
