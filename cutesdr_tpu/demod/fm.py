@@ -177,11 +177,14 @@ def _pll_scan(params: FmParams, carry: FmCarry, theta: jax.Array,
     if fast:
         from cutesdr_tpu.kernels import seqloop
         if seqloop.use_kernel(theta):
-            phase, freq, dc, audio, err = seqloop.fm_pll_scan(
+            phase, freq, freqs, err = seqloop.fm_pll_scan(
                 params.pll_alpha, params.pll_beta, params.nco_limit,
-                params.out_gain, params.dc_alpha, carry.nco_phase,
-                carry.nco_freq, carry.freq_error_dc, theta)
-            return phase, freq, dc, audio, err
+                carry.nco_phase, carry.nco_freq, theta)
+            # DC tracker + audio scaling are linear post-processing: run
+            # them vectorized in the offset frame (also the better f32
+            # formulation) instead of inside the serial loop
+            audio, dc_last = _dc_track(params, freqs, carry.freq_error_dc)
+            return phase, freq, dc_last, audio, err
 
     def step(c, th):
         phase, freq, dc = c

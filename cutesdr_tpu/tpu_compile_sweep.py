@@ -97,10 +97,11 @@ def main(argv=None) -> int:
         theta = jax.jit(lambda r, i: jnp.arctan2(i, r))(re, im)
         p, c = fm.init(62500.0)
         want = fm._pll_scan(p, c, theta)
-        got = seqloop.fm_pll_scan(
-            p.pll_alpha, p.pll_beta, p.nco_limit, p.out_gain, p.dc_alpha,
-            c.nco_phase, c.nco_freq, c.freq_error_dc, theta)
-        da = float(jnp.max(jnp.abs(want[3] - got[3])))
+        ph2, fr2, freqs, err2 = seqloop.fm_pll_scan(
+            p.pll_alpha, p.pll_beta, p.nco_limit,
+            c.nco_phase, c.nco_freq, theta)
+        audio2, _dc2 = fm._dc_track(p, freqs, c.freq_error_dc)
+        da = float(jnp.max(jnp.abs(want[3] - audio2)))
         scale = float(jnp.max(jnp.abs(want[3]))) + 1e-30
         assert da / scale < 1e-5, f"fm audio diff {da / scale:g}"
         ps, cs = sam.init(62500.0)
