@@ -5,14 +5,19 @@ Why a kernel: a `lax.scan` whose body is a handful of scalar ops costs
 pipeline; `unroll` only buys ~2x — CLAUDE.md).  The FM/SAM sequential
 fallbacks — the EXACT per-sample reference recurrences
 (dsp/fmdemod.cpp:62-89, dsp/samdemod.cpp:78-110) taken during acquisition
-or on carrier-less noise — therefore dominated their blocks: ~23 ms for
-an 8k-sample FM block that the rest of the chain finishes in ~0.3 ms.
+or on carrier-less noise — therefore dominated their blocks: several ms
+for an 8k-sample block that the rest of the chain finishes in ~0.3 ms.
 
 A TPU core also has a SCALAR processor (the unit that sequences the
 vector pipelines, runs control flow and SMEM arithmetic).  This kernel
-runs the identical recurrence as a `fori_loop` of pure scalar f32 ops —
-per-sample cost is a few pipeline-visible cycles instead of a VPU
-round-trip.
+runs the identical recurrence as a `fori_loop` of scalar f32 ops plus
+one (8, 128) mask-select per emitted series.  Measured r5 on v5e
+(8192-sample blocks, D2H-slope fence, quiet host): FM 5.09 -> 1.37 ms
+(3.7x, 167 ns/sample), SAM 3.41 -> 1.15 ms (3.0x, 140 ns/sample).  The
+remaining floor is the masked output select + the serialized scalar ops;
+a select-free variant via SMEM staging measured 10x SLOWER (scalar SMEM
+array stores are expensive), and scalar round/div 3x slower — both kept
+out by measurement.
 
 Mosaic legality notes (r5, found by the on-chip sweep):
   * scalars canNOT be stored to VMEM ("Cannot store scalars to VMEM"),
