@@ -196,7 +196,7 @@ def make_serve_variant(cfg):
     return jax.jit(serve_step), params, (state, sstate)
 
 
-def run_budget(frames_per_block=256, k1=2, k2=8,
+def run_budget(frames_per_block=256, k1=4, k2=32,
                input_rate=2_000_000.0, mode="usb", name="usb2m"):
     import jax
     import jax.numpy as jnp
@@ -279,8 +279,8 @@ def run_budget(frames_per_block=256, k1=2, k2=8,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=256)
-    ap.add_argument("--k1", type=int, default=2)
-    ap.add_argument("--k2", type=int, default=8)
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=32)
     ap.add_argument("--rate", type=float, default=2_000_000.0)
     ap.add_argument("--mode", default="usb")
     ap.add_argument("--name", default=None,

@@ -33,8 +33,28 @@ reshapes/unaligned slices are not lowerable):
 Equivalence with ops.nco.process + ops.decimator.fused_process is asserted
 in tests/test_kernels.py (interpret mode on CPU, compiled on TPU).
 
-Measured (TPU v5e, 2 MSPS plan ×32, 262144-sample blocks): 11.5 GSPS vs
-8.5 GSPS for the XLA-composed mix+conv (1.36×), and 0.8 s vs 13.5 s compile.
+r5 ablation findings (bench_mixdec_ablation, honest D2H-slope fence,
+8.4M-sample ×32 flagship blocks on v5e):
+
+  * the kernel is per-tile-overhead bound, not HBM/MXU bound (11% HBM,
+    9% MXU at the old 512 tile): tile 4096 runs 0.852 -> 0.589 ms and is
+    now the receiver's preference (pipeline/receiver._mixdec_tile);
+  * the manual overlapping-window DMAs move only ~230 GB/s while
+    Mosaic's OWN BlockSpec pipeline streams 792 GB/s (97% of HBM), so
+    the window is now fed by three NON-overlapping block streams
+    (backward halo / main tile / small lookahead) assembled by cheap
+    VMEM copies (_kernel_bs); DMA-only time halved (0.302 -> 0.153 ms)
+    and the ×32 kernel is compute-bound (oscillator+mix ~0.17 ms,
+    matmul+band-sum ~0.26 ms per 8.4M);
+  * the D-multiple-of-128 wide form (20 MSPS, lane = D = 256) pays a
+    HIDDEN XLA RELAYOUT: reshaping a flat f32 stream to (rows, 256)
+    physically retiles it (measured 237 GB/s vs 794 GB/s for the free
+    (rows, 128) reshape) — ~1.6 ms of the 20M kernel's 3.7 ms is that
+    layout conversion, unavoidable until the planes keep a (rows, lane)
+    layout end-to-end through the receiver (documented future lever;
+    the flagship lane-128 form is unaffected);
+  * dot precision DEFAULT (one bf16 pass) buys only ~8% — HIGHEST stays
+    (the -77 dB single-pass floor is not worth 8%).
 """
 
 from __future__ import annotations
@@ -366,6 +386,78 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
             finish(zr1, zi1, 1)
 
 
+def _kernel_bs(scalars_ref, dc_ref,
+               t_re_ref, t_im_ref,       # VMEM [halo_rows, lane] carry tail
+               h_re_ref, h_im_ref,       # blocked [halo_rows, lane] halos
+               x_re_ref, x_im_ref,       # blocked [TO4, lane] main tiles
+               a_re_ref, a_im_ref,       # blocked [ahead, lane] lookahead
+                                         # (None-less: omitted when ahead=0)
+               w4_ref, y_ref, zr_s, zi_s,
+               *, TO4: int, R: int, C: int, halo_rows: int, ahead: int,
+               lane: int, wide_cols: int, n_tiles: int, base_off: int = 0,
+               band_roll: bool = False, stage: str = "full",
+               dot_precision=_DOT_PRECISION, tail_rows: int = 0):
+    """BlockSpec-pipelined variant (r5): the manual overlapping-window
+    DMAs of _kernel_planes measured 231 GB/s on v5e while Mosaic's OWN
+    block pipeline streams 792 GB/s (97% of HBM) — so the window is
+    split into three NON-overlapping block streams (backward halo, main
+    tile, small lookahead) that Mosaic pipelines automatically, and the
+    [m_rows, lane] compute window is assembled by cheap VMEM copies
+    (~0.3 us/tile).  Requires halo_rows and ahead to divide TO4 (the
+    wrapper rounds both to powers of two <= 128 and falls back to the
+    manual-DMA kernel otherwise).  The i=0 halo and the last tile's
+    lookahead land out of range: their index maps clamp (Mosaic needs
+    in-bounds blocks) and the content is overridden in-kernel — the
+    carry tail for i=0, zeros for the final lookahead (matching
+    _kernel_planes' zero-fill of the past-the-end window rows)."""
+    del n_tiles  # only used by the wrapper's index maps
+    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    pad0 = halo_rows - tail_rows        # BS halo may exceed the carried
+                                        # tail; the surplus rows carry
+                                        # zero taps (w_pad front zeros)
+
+    @pl.when(i == 0)
+    def _():
+        if pad0:
+            zr_s[0:pad0] = jnp.zeros((pad0, lane), jnp.float32)
+            zi_s[0:pad0] = jnp.zeros((pad0, lane), jnp.float32)
+        zr_s[pad0:halo_rows] = t_re_ref[:]
+        zi_s[pad0:halo_rows] = t_im_ref[:]
+
+    @pl.when(i > 0)
+    def _():
+        zr_s[0:halo_rows] = h_re_ref[:]
+        zi_s[0:halo_rows] = h_im_ref[:]
+
+    if ahead > 0:
+        zr_s[halo_rows:halo_rows + TO4] = x_re_ref[:]
+        zi_s[halo_rows:halo_rows + TO4] = x_im_ref[:]
+
+        @pl.when(i < last)
+        def _():
+            zr_s[halo_rows + TO4:m_rows] = a_re_ref[:]
+            zi_s[halo_rows + TO4:m_rows] = a_im_ref[:]
+
+        @pl.when(i == last)
+        def _():
+            zr_s[halo_rows + TO4:m_rows] = jnp.zeros((ahead, lane),
+                                                     jnp.float32)
+            zi_s[halo_rows + TO4:m_rows] = jnp.zeros((ahead, lane),
+                                                     jnp.float32)
+    else:
+        zr_s[halo_rows:m_rows] = x_re_ref[0:m_rows - halo_rows]
+        zi_s[halo_rows:m_rows] = x_im_ref[0:m_rows - halo_rows]
+
+    _compute(i, scalars_ref[0], scalars_ref[1], zr_s[:], zi_s[:],
+             dc_ref[0], dc_ref[1], w4_ref[:], y_ref,
+             TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
+             wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
+             band_roll=band_roll, stage=stage, dot_precision=dot_precision)
+
+
 class MixDecParams(NamedTuple):
     w4: jax.Array            # [128, R*C] residue-decomposed taps
     phase_inc: jax.Array     # uint32
@@ -418,6 +510,7 @@ class MixDecimate:
         # triple the matmul for small-C plans (measured: the x32
         # flagship's mixdec went 0.56 -> 1.0 ms before this split).
         halo_orig = int(np.ceil((L - 1 - d) / lane))
+        self.halo_orig = halo_orig
         self.halo_rows = -(-halo_orig // 8) * 8
         self.base_off = self.halo_rows - halo_orig
         shift = halo_orig * lane - (L - 1 - d)
@@ -571,36 +664,110 @@ class MixDecimate:
         x_re = re.reshape(rows_x, lane)
         x_im = im.reshape(rows_x, lane)
 
-        m_rows = -(-(TO4 + C - 1 + self.base_off) // 8) * 8
-        kernel = functools.partial(_kernel_planes, TO4=TO4, R=R, C=C,
-                                   halo_rows=self.halo_rows, lane=lane,
-                                   wide_cols=self.wide_cols, rows_x=rows_x,
-                                   base_off=self.base_off,
-                                   band_roll=self.band_roll,
-                                   stage=self.stage,
-                                   dot_precision=self.dot_precision)
-        buf = pltpu.VMEM((m_rows, lane), jnp.float32)
-        y4 = pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(n_tiles,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((2 * R, TO4), lambda i, s1, s2: (0, i)),
-                scratch_shapes=[buf, buf, buf, buf,
-                                pltpu.SemaphoreType.DMA((2, 2))],
-            ),
-            out_shape=jax.ShapeDtypeStruct((2 * R, n_tiles * TO4),
-                                           jnp.float32),
-            interpret=self.interpret,
-        )(scalars, dc, t2.real.astype(jnp.float32),
-          t2.imag.astype(jnp.float32), x_re, x_im, params.w4)
+        # BlockSpec-pipelined path geometry: its halo must DIVIDE TO4 so
+        # the backward-halo block index (i*TO4/bs_halo - 1) is integral.
+        # Pick the smallest multiple-of-8 divisor of TO4 >= the carried
+        # history; the surplus rows before the tail are zero-filled at
+        # i=0 (they carry zero taps by the w_pad front-padding guarantee)
+        # and real earlier input rows for i>0.
+        bs_halo = next((k for k in range(8, TO4 + 1, 8)
+                        if TO4 % k == 0 and k >= self.halo_rows), 0)
+        bs_base = bs_halo - self.halo_orig
+        m_rows = -(-(TO4 + C - 1 + bs_base) // 8) * 8 if bs_halo else 0
+        ahead = m_rows - bs_halo - TO4
+        bs_ok = (self.halo_rows > 0 and bs_halo > 0
+                 and (ahead <= 0 or TO4 % ahead == 0))
+        if bs_ok:
+            halo = bs_halo
+            static = dict(TO4=TO4, R=R, C=C, halo_rows=halo, ahead=ahead,
+                          lane=lane, wide_cols=self.wide_cols,
+                          n_tiles=n_tiles, base_off=bs_base,
+                          band_roll=self.band_roll, stage=self.stage,
+                          dot_precision=self.dot_precision,
+                          tail_rows=self.halo_rows)
+            hs = TO4 // halo
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # tail re
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # tail im
+                pl.BlockSpec((halo, lane),
+                             lambda i, s1, s2: (jnp.maximum(i * hs - 1, 0),
+                                                0)),
+                pl.BlockSpec((halo, lane),
+                             lambda i, s1, s2: (jnp.maximum(i * hs - 1, 0),
+                                                0)),
+                pl.BlockSpec((TO4, lane), lambda i, s1, s2: (i, 0)),
+                pl.BlockSpec((TO4, lane), lambda i, s1, s2: (i, 0)),
+            ]
+            inputs = [t2.real.astype(jnp.float32),
+                      t2.imag.astype(jnp.float32),
+                      x_re, x_im, x_re, x_im]
+            if ahead > 0:
+                a_s = TO4 // ahead
+                a_max = rows_x // ahead - 1
+                in_specs += [
+                    pl.BlockSpec((ahead, lane),
+                                 lambda i, s1, s2: (jnp.minimum(
+                                     (i + 1) * a_s, a_max), 0)),
+                    pl.BlockSpec((ahead, lane),
+                                 lambda i, s1, s2: (jnp.minimum(
+                                     (i + 1) * a_s, a_max), 0)),
+                ]
+                inputs += [x_re, x_im]
+                kernel = functools.partial(_kernel_bs, **static)
+            else:
+                def kernel(s, d, tr, ti, hr, hi, xr, xi, w4r, yr, zr, zi):
+                    _kernel_bs(s, d, tr, ti, hr, hi, xr, xi, None, None,
+                               w4r, yr, zr, zi, **static)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w4
+            inputs.append(params.w4)
+            y4 = pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(n_tiles,),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec((2 * R, TO4),
+                                           lambda i, s1, s2: (0, i)),
+                    scratch_shapes=[pltpu.VMEM((m_rows, lane), jnp.float32),
+                                    pltpu.VMEM((m_rows, lane), jnp.float32)],
+                ),
+                out_shape=jax.ShapeDtypeStruct((2 * R, n_tiles * TO4),
+                                               jnp.float32),
+                interpret=self.interpret,
+            )(scalars, dc, *inputs)
+        else:
+            m_rows = -(-(TO4 + C - 1 + self.base_off) // 8) * 8
+            kernel = functools.partial(_kernel_planes, TO4=TO4, R=R, C=C,
+                                       halo_rows=self.halo_rows, lane=lane,
+                                       wide_cols=self.wide_cols,
+                                       rows_x=rows_x,
+                                       base_off=self.base_off,
+                                       band_roll=self.band_roll,
+                                       stage=self.stage,
+                                       dot_precision=self.dot_precision)
+            buf = pltpu.VMEM((m_rows, lane), jnp.float32)
+            y4 = pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((2 * R, TO4),
+                                           lambda i, s1, s2: (0, i)),
+                    scratch_shapes=[buf, buf, buf, buf,
+                                    pltpu.SemaphoreType.DMA((2, 2))],
+                ),
+                out_shape=jax.ShapeDtypeStruct((2 * R, n_tiles * TO4),
+                                               jnp.float32),
+                interpret=self.interpret,
+            )(scalars, dc, t2.real.astype(jnp.float32),
+              t2.imag.astype(jnp.float32), x_re, x_im, params.w4)
 
         y_re = y4[:R].T.reshape(-1)
         y_im = y4[R:].T.reshape(-1)

@@ -292,15 +292,17 @@ def _mixdec_tile(cfg: ReceiverConfig) -> int:
     if out_per_block <= 0 or out_per_block % R:
         return 0
     to4_total = out_per_block // R
-    # measured sweet spots: 128 columns for the lane-128 residue form
-    # (the 11.5 GSPS kernel measurement's config), 512 for the wide-row
-    # form; fall back to any other legal 128-multiple
-    prefer = 128 if lane == 128 else 512
-    legal = [j for j in range(128, min(512, to4_total) + 1, 128)
+    # r5 ablation (bench_mixdec_ablation, 8.4M flagship blocks, honest
+    # slope fence): the kernel is per-tile-overhead bound — tile 4096
+    # (1024 columns) measured 0.589 ms vs 0.852 at the old 512 default
+    # (1.45x; DMA efficiency reaches ~46% of HBM at big tiles, and
+    # nothing else saturates).  Prefer the LARGEST legal tile up to 1024
+    # columns; tile 8192+ regresses (VMEM pressure) and >= 16384 fails
+    # to compile.
+    legal = [j for j in range(128, min(1024, to4_total) + 1, 128)
              if to4_total % j == 0]
     if legal:
-        best = prefer if prefer in legal else legal[-1]
-        return best * R
+        return legal[-1] * R
     # single tile == whole array: always tile-legal; bound the VMEM window
     # (re+im planes of ~ (TO4+C) x lane f32)
     if to4_total * lane * 4 * 2 <= 8_000_000:
