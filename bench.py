@@ -45,7 +45,7 @@ def _enable_compile_cache():
         logging.ERROR)
 
 
-def bench_receiver(frames_per_block=256, k1=2, k2=12, reps=5):
+def bench_receiver(frames_per_block=256, k1=4, k2=64, reps=5):
     """Honest device throughput of the production receiver step.
 
     Timing methodology (r4): through the axon tunnel,
