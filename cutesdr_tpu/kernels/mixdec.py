@@ -10,9 +10,10 @@ Mosaic layout strategy (TPU tiles are (8 sublanes, 128 lanes); arbitrary
 reshapes/unaligned slices are not lowerable):
 
   * the raw stream keeps its natural layout, viewed host-side as rows of
-    ``lane`` consecutive samples (lane = 128 when the decimation divides
-    128; lane = D when D is a multiple of 128 — still 128-aligned, still
-    a free reshape): Z[m, q] = z[lane·m + q];
+    128 consecutive samples (a FREE reshape — wider lane views retile,
+    DESIGN §27): Z[m, q] = z[128·m + q]; when D is a multiple of 128
+    each output consumes G = D/128 consecutive rows (wide-128 form, r5)
+    and lands on row G·n' after the band-roll alignment;
   * each grid step DMAs a row-aligned window (overlapping windows via
     dynamic row offsets — BlockSpec windows cannot overlap; the window is
     rounded up to 8 rows, the Mosaic scratch-shape tile),
@@ -46,13 +47,14 @@ r5 ablation findings (bench_mixdec_ablation, honest D2H-slope fence,
     VMEM copies (_kernel_bs); DMA-only time halved (0.302 -> 0.153 ms)
     and the ×32 kernel is compute-bound (oscillator+mix ~0.17 ms,
     matmul+band-sum ~0.26 ms per 8.4M);
-  * the D-multiple-of-128 wide form (20 MSPS, lane = D = 256) pays a
-    HIDDEN XLA RELAYOUT: reshaping a flat f32 stream to (rows, 256)
-    physically retiles it (measured 237 GB/s vs 794 GB/s for the free
-    (rows, 128) reshape) — ~1.6 ms of the 20M kernel's 3.7 ms is that
-    layout conversion, unavoidable until the planes keep a (rows, lane)
-    layout end-to-end through the receiver (documented future lever;
-    the flagship lane-128 form is unaffected);
+  * the old D-multiple-of-128 form (lane = D = 256) paid a HIDDEN XLA
+    RELAYOUT: reshaping a flat f32 stream to (rows, 256) physically
+    retiles it (measured 237 GB/s vs 794 GB/s for the free (rows, 128)
+    reshape).  CLOSED by the wide-128 form (DESIGN §28): lane stays
+    128, one output consumes G = D/128 consecutive rows, and the
+    stride-G output extraction uses the reshape-column trick (_extract)
+    — measured 0.237 ms/4.19M block (17.7 GSPS) at D=256 vs ~0.33
+    kernel+retile before;
   * dot precision DEFAULT (one bf16 pass) buys only ~8% — HIGHEST stays
     (the -77 dB single-pass floor is not worth 8%).
 """
@@ -77,14 +79,26 @@ _DOT_PRECISION = jax.lax.Precision.HIGHEST
 LANE = 128
 
 
+def _extract(acc, TO4, G):
+    """Select the output rows of a [m_rows, 1] band-summed column: row
+    G·n' holds output n' (G = input rows consumed per output; 1 for the
+    classic forms, D/128 for the wide-128 form).  Strided sublane slices
+    of VALUES do not lower on Mosaic (vector.extract_strided_slice wants
+    stride 1) — but the [G·TO4, 1] -> [TO4, G] reshape + column-0 slice
+    does (verified on v5e), and is a tiny in-register relayout."""
+    if G == 1:
+        return acc[:TO4]
+    return acc[0:G * TO4].reshape(TO4, G)[:, 0:1]
+
+
 def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
              *, TO4, R, C, halo_rows, lane, wide_cols, m_rows,
              base_off=0, band_roll=False, stage="full",
-             dot_precision=_DOT_PRECISION):
+             dot_precision=_DOT_PRECISION, G=1):
     """Shared mix+decimate body on a filled [m_rows, lane] scratch pair.
-    zr/zi hold z rows [i*TO4, i*TO4 + m_rows) of the tail||input stream;
-    dcr/dci is the NCO-spur DC cal subtracted in place (free against the
-    oscillator multiply).
+    zr/zi hold z rows [i*TO4*G, i*TO4*G + m_rows) of the tail||input
+    stream; dcr/dci is the NCO-spur DC cal subtracted in place (free
+    against the oscillator multiply).
 
     ``stage`` (ablation instrumentation, bench_mixdec_ablation — VERDICT
     r4 #1): 'dma' touches the DMA'd window and skips all compute;
@@ -97,8 +111,8 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
         acc_re = jnp.sum(zr, axis=1, keepdims=True)
         acc_im = jnp.sum(zi, axis=1, keepdims=True)
         for r in range(R):
-            y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
-            y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
+            y_ref[r, :] = jnp.transpose(_extract(acc_re, TO4, G))[0, :]
+            y_ref[R + r, :] = jnp.transpose(_extract(acc_im, TO4, G))[0, :]
         return
     # global sample of Z[m, q] is (i*TO4 + m - halo_rows)*lane + q, so the
     # DDS phase splits exactly (uint32 wraparound algebra) into a per-ROW
@@ -110,7 +124,7 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
     # the f32 products of unit phasors round at ~1e-7.
     m_col = jax.lax.broadcasted_iota(jnp.uint32, (m_rows, 1), 0)
     q_row = jax.lax.broadcasted_iota(jnp.uint32, (1, lane), 1)
-    acc_m = base + ((jnp.uint32(i * TO4) + m_col - jnp.uint32(halo_rows))
+    acc_m = base + ((jnp.uint32(i * TO4 * G) + m_col - jnp.uint32(halo_rows))
                     * (jnp.uint32(lane) * inc))
     acc_q = q_row * inc
     # Mosaic can't cast uint32->f32; reinterpret as int32, which maps
@@ -136,8 +150,8 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
         acc_re = jnp.sum(mre, axis=1, keepdims=True)
         acc_im = jnp.sum(mim, axis=1, keepdims=True)
         for r in range(R):
-            y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
-            y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
+            y_ref[r, :] = jnp.transpose(_extract(acc_re, TO4, G))[0, :]
+            y_ref[R + r, :] = jnp.transpose(_extract(acc_im, TO4, G))[0, :]
         return
 
     # precision=HIGHEST: TPU f32 dots default to ONE bf16 pass
@@ -159,7 +173,9 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
         # up-shift is applied as its binary decomposition — masked
         # UNIFORM sublane rolls (Mosaic has no minor-dim stride
         # rolls); wrapped-in bottom rows only ever land at
-        # m >= m_rows-C+1 >= TO4, outside the emitted window.
+        # m >= m_rows-C+1 >= G*TO4, outside the emitted window.
+        # For the wide-128 form (G > 1) output n' sits on row G*n'
+        # after alignment — _extract takes the stride-G sublane slice.
         col = jax.lax.broadcasted_iota(jnp.int32, (m_rows, wide_cols), 1)
         # base_off: the DMA halo is 8-row aligned but the tap matrix is
         # built from the unaligned halo — every band's diagonal starts
@@ -176,9 +192,10 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
             b += 1
         acc_re = jnp.sum(pre, axis=1, keepdims=True)   # [m_rows, 1]
         acc_im = jnp.sum(pim, axis=1, keepdims=True)
-        y_ref[0, :] = jnp.transpose(acc_re[:TO4])[0, :]
-        y_ref[1, :] = jnp.transpose(acc_im[:TO4])[0, :]
+        y_ref[0, :] = jnp.transpose(_extract(acc_re, TO4, G))[0, :]
+        y_ref[1, :] = jnp.transpose(_extract(acc_im, TO4, G))[0, :]
     elif band_roll:
+        assert G == 1, "residue forms are lane-128 with one output per row"
         # residue form of the wide-row roll trick: w4 is padded to 128
         # columns (col = R*c + r; pad columns are zero, so their rolls
         # are harmless), each column is rolled UP by base_off + c rows to
@@ -210,6 +227,7 @@ def _compute(i, base, inc, zr, zi, dcr, dci, w4, y_ref,
             y_ref[r, :] = jnp.transpose(acc_re[:TO4])[0, :]
             y_ref[R + r, :] = jnp.transpose(acc_im[:TO4])[0, :]
     else:
+        assert G == 1, "residue forms are lane-128 with one output per row"
         for r in range(R):           # y[R n' + r] = sum_c P[n' + c, R c + r]
             acc_re = jnp.zeros((TO4,), jnp.float32)
             acc_im = jnp.zeros((TO4,), jnp.float32)
@@ -228,14 +246,14 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
             y_ref,                  # VMEM out [2R, TO4]
             *, TO4: int, R: int, C: int, halo_rows: int, lane: int = LANE,
             wide_cols: int = 0, base_off: int = 0, band_roll: bool = False,
-            stage: str = "full", dot_precision=_DOT_PRECISION):
+            stage: str = "full", dot_precision=_DOT_PRECISION, G: int = 1):
     # VMEM scratch rows must be 8-aligned (Mosaic tiling); the extra rows
     # read zero padding and feed matmul rows that are never summed
-    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
+    m_rows = -(-(TO4 * G + C - 1 + base_off) // 8) * 8
     i = pl.program_id(0)
 
     def body(zr_s, zi_s, sem):
-        row0 = pl.multiple_of(i * TO4, TO4)
+        row0 = pl.multiple_of(i * TO4 * G, TO4 * G)
         cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, m_rows)],
                                     zr_s, sem.at[0])
         cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, m_rows)],
@@ -249,7 +267,7 @@ def _kernel(scalars_ref,            # scalar prefetch: [base_acc, inc] uint32
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
                  wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
                  band_roll=band_roll, stage=stage,
-                 dot_precision=dot_precision)
+                 dot_precision=dot_precision, G=G)
 
     pl.run_scoped(
         body,
@@ -270,7 +288,8 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
                    *, TO4: int, R: int, C: int, halo_rows: int,
                    lane: int, wide_cols: int, rows_x: int,
                    base_off: int = 0, band_roll: bool = False,
-                   stage: str = "full", dot_precision=_DOT_PRECISION):
+                   stage: str = "full", dot_precision=_DOT_PRECISION,
+                   G: int = 1):
     """Plane-native, double-buffered variant: the carried raw tail
     arrives as its OWN small buffer and the block input as the session's
     re/im f32 planes, so the caller materializes NO concatenated/split
@@ -285,14 +304,17 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
     (i*TO4 - halo_rows) stay on the (8, 128) tile grid because the
     wrapper rounds halo_rows up to 8 (pl.multiple_of carries the proof);
     windows past either end of the input are clamped and zero-filled
-    (those rows only feed matmul rows that are never emitted)."""
-    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
+    (those rows only feed matmul rows that are never emitted).  Row math
+    uses T4G = TO4*G input rows per tile (G > 1 for the wide-128 form,
+    where one output consumes G = D/128 lane rows)."""
+    T4G = TO4 * G
+    m_rows = -(-(T4G + C - 1 + base_off) // 8) * 8
     i = pl.program_id(0)
-    n_tiles = rows_x // TO4
-    assert halo_rows % 8 == 0 and TO4 % 8 == 0
-    assert TO4 >= halo_rows > 0, (TO4, halo_rows)
+    n_tiles = rows_x // T4G
+    assert halo_rows % 8 == 0 and T4G % 8 == 0
+    assert T4G >= halo_rows > 0, (T4G, halo_rows)
     # overrun of the LAST tile's window past the input end (static)
-    over = max(0, (n_tiles - 1) * TO4 - halo_rows + m_rows - rows_x)
+    over = max(0, (n_tiles - 1) * T4G - halo_rows + m_rows - rows_x)
     head_keep = min(m_rows - halo_rows, rows_x)
 
     def copies(j, zr_s, zi_s, slot, phase):
@@ -331,7 +353,7 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
 
         @pl.when((j > 0) & (j < n_tiles - 1))
         def _():
-            row0 = pl.multiple_of(j * TO4 - halo_rows, 8)
+            row0 = pl.multiple_of(j * T4G - halo_rows, 8)
             go([pltpu.make_async_copy(x_re_ref.at[pl.ds(row0, m_rows)],
                                       zr_s, sem.at[slot, 0]),
                 pltpu.make_async_copy(x_im_ref.at[pl.ds(row0, m_rows)],
@@ -342,7 +364,7 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
             if phase == "start" and over:
                 zr_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
                 zi_s[:] = jnp.zeros((m_rows, lane), jnp.float32)
-            row0 = pl.multiple_of(j * TO4 - halo_rows, 8)
+            row0 = pl.multiple_of(j * T4G - halo_rows, 8)
             keep = m_rows - over
             go([pltpu.make_async_copy(x_re_ref.at[pl.ds(row0, keep)],
                                       zr_s.at[pl.ds(0, keep)],
@@ -372,7 +394,7 @@ def _kernel_planes(scalars_ref,     # scalar prefetch: [base_acc, inc] uint32
                  TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
                  wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
                  band_roll=band_roll, stage=stage,
-                 dot_precision=dot_precision)
+                 dot_precision=dot_precision, G=G)
 
     if n_tiles == 1:
         finish(zr0, zi0, 0)
@@ -396,7 +418,8 @@ def _kernel_bs(scalars_ref, dc_ref,
                *, TO4: int, R: int, C: int, halo_rows: int, ahead: int,
                lane: int, wide_cols: int, n_tiles: int, base_off: int = 0,
                band_roll: bool = False, stage: str = "full",
-               dot_precision=_DOT_PRECISION, tail_rows: int = 0):
+               dot_precision=_DOT_PRECISION, tail_rows: int = 0,
+               G: int = 1):
     """BlockSpec-pipelined variant (r5): the manual overlapping-window
     DMAs of _kernel_planes measured 231 GB/s on v5e while Mosaic's OWN
     block pipeline streams 792 GB/s (97% of HBM) — so the window is
@@ -411,7 +434,8 @@ def _kernel_bs(scalars_ref, dc_ref,
     carry tail for i=0, zeros for the final lookahead (matching
     _kernel_planes' zero-fill of the past-the-end window rows)."""
     del n_tiles  # only used by the wrapper's index maps
-    m_rows = -(-(TO4 + C - 1 + base_off) // 8) * 8
+    T4G = TO4 * G
+    m_rows = -(-(T4G + C - 1 + base_off) // 8) * 8
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
 
@@ -433,19 +457,19 @@ def _kernel_bs(scalars_ref, dc_ref,
         zi_s[0:halo_rows] = h_im_ref[:]
 
     if ahead > 0:
-        zr_s[halo_rows:halo_rows + TO4] = x_re_ref[:]
-        zi_s[halo_rows:halo_rows + TO4] = x_im_ref[:]
+        zr_s[halo_rows:halo_rows + T4G] = x_re_ref[:]
+        zi_s[halo_rows:halo_rows + T4G] = x_im_ref[:]
 
         @pl.when(i < last)
         def _():
-            zr_s[halo_rows + TO4:m_rows] = a_re_ref[:]
-            zi_s[halo_rows + TO4:m_rows] = a_im_ref[:]
+            zr_s[halo_rows + T4G:m_rows] = a_re_ref[:]
+            zi_s[halo_rows + T4G:m_rows] = a_im_ref[:]
 
         @pl.when(i == last)
         def _():
-            zr_s[halo_rows + TO4:m_rows] = jnp.zeros((ahead, lane),
+            zr_s[halo_rows + T4G:m_rows] = jnp.zeros((ahead, lane),
                                                      jnp.float32)
-            zi_s[halo_rows + TO4:m_rows] = jnp.zeros((ahead, lane),
+            zi_s[halo_rows + T4G:m_rows] = jnp.zeros((ahead, lane),
                                                      jnp.float32)
     else:
         zr_s[halo_rows:m_rows] = x_re_ref[0:m_rows - halo_rows]
@@ -455,7 +479,8 @@ def _kernel_bs(scalars_ref, dc_ref,
              dc_ref[0], dc_ref[1], w4_ref[:], y_ref,
              TO4=TO4, R=R, C=C, halo_rows=halo_rows, lane=lane,
              wide_cols=wide_cols, m_rows=m_rows, base_off=base_off,
-             band_roll=band_roll, stage=stage, dot_precision=dot_precision)
+             band_roll=band_roll, stage=stage, dot_precision=dot_precision,
+             G=G)
 
 
 class MixDecParams(NamedTuple):
@@ -475,9 +500,15 @@ class MixDecimate:
 
     Supported decimations: D dividing 128 (lane rows hold 128/D outputs,
     residue-decomposed — the original form) and D a multiple of 128 (the
-    20 MSPS-class plans: the stream is viewed as rows of ``lane = D``
-    samples — still 128-aligned — so each row yields exactly one output,
-    R = 1, same diagonal-band matmul)."""
+    20 MSPS-class plans).  The latter keeps the stream in its free
+    (rows, 128) layout — the wide-128 form, r5: one output consumes
+    G = D/128 consecutive rows, the diagonal-band matmul runs at
+    lane = 128 (identical FLOPs), and output n' is extracted from row
+    G·n' by a static stride-G sublane slice after the band-roll
+    alignment.  The earlier lane = D layout (each row one output) is
+    kept as a fallback for very long composed taps (C > 128 columns)
+    and for wide=False ablations; it pays a hidden host-side XLA retile
+    of ~2x the kernel's own HBM traffic (DESIGN §27)."""
 
     def __init__(self, plan: DecimationPlan, tune_freq: float,
                  tile_out: int = 512, interpret: bool = False,
@@ -487,19 +518,39 @@ class MixDecimate:
 
         self.plan = plan
         D = self.D = plan.decimation
+        h = np.asarray(plan.composed_taps())[::-1]       # flipped (corr form)
+        d = dec_ops.total_offset(plan)
+        L = len(h)
+        self.G = 1
         if LANE % D == 0:
             self.lane = LANE
             self.R = LANE // D
         elif D % LANE == 0:
-            self.lane = D                    # G = D/128 lane tiles per row
+            # wide-128 form (r5): keep the stream in its FREE (rows, 128)
+            # layout — a flat f32 -> (rows, D) reshape physically RETILES
+            # (measured 237 vs 794 GB/s through the same kernel, DESIGN
+            # §27, ~1.6 ms/67M hidden XLA cost at 20 MSPS).  Each output
+            # consumes G = D/128 consecutive lane rows; after the
+            # band-roll alignment output n' sits on row G·n' and is
+            # extracted with a static stride-G sublane slice (_extract).
+            # Same matmul FLOPs as the legacy lane = D layout (rows
+            # double, contraction halves).
+            self.lane = LANE
             self.R = 1
+            self.G = D // LANE
+            halo_o = int(np.ceil((L - 1 - d) / LANE))
+            too_long = int(np.ceil(
+                (halo_o * LANE - (L - 1 - d) + L) / LANE)) > LANE
+            if too_long or not wide:
+                # composed taps too long for a 128-column band matrix (or
+                # the roll+extract form disabled): legacy lane = D layout
+                # (pays the host-side retile)
+                self.lane = D
+                self.G = 1
         else:
             raise ValueError(f"decimation {D} must divide or be a "
                              f"multiple of {LANE}")
         lane = self.lane
-        h = np.asarray(plan.composed_taps())[::-1]       # flipped (corr form)
-        d = dec_ops.total_offset(plan)
-        L = len(h)
         # raw history needed: L-1-d samples, rounded up to whole lane
         # rows; the DMA halo is that rounded up to a multiple of 8 rows
         # so the plane-native kernel's dynamic DMA starts
@@ -582,15 +633,15 @@ class MixDecimate:
     def __call__(self, params: MixDecParams, carry: MixDecCarry,
                  x: jax.Array) -> tuple[MixDecCarry, jax.Array]:
         n = x.shape[-1]
-        TO4, R, C, lane = self.TO4, self.R, self.C, self.lane
-        samples_per_tile = TO4 * lane
+        TO4, R, C, lane, G = self.TO4, self.R, self.C, self.lane, self.G
+        samples_per_tile = TO4 * G * lane
         if n % samples_per_tile:
             raise ValueError(f"block {n} not a multiple of {samples_per_tile}")
         n_tiles = n // samples_per_tile
         z = jnp.concatenate([carry.raw_tail, x])
         new_tail = z[z.shape[-1] - self.halo:]
         # pad right so the last tile's 8-aligned window exists
-        m_rows = TO4 + C - 1 + self.base_off
+        m_rows = TO4 * G + C - 1 + self.base_off
         pad_rows = (C - 1 + self.base_off) + (-(-m_rows // 8) * 8 - m_rows)
         zp = jnp.concatenate([z, jnp.zeros(pad_rows * lane, z.dtype)])
         scalars = jnp.stack([carry.phase_base, params.phase_inc])
@@ -604,7 +655,7 @@ class MixDecimate:
                                    base_off=self.base_off,
                                    band_roll=self.band_roll,
                                    stage=self.stage,
-                                   dot_precision=self.dot_precision)
+                                   dot_precision=self.dot_precision, G=G)
         y4 = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -642,8 +693,9 @@ class MixDecimate:
         tail-concat + pad + re/im split cost ~3x the kernel's own HBM
         traffic at 20 MSPS).  Carry layout is identical to __call__."""
         n = re.shape[-1]
-        TO4, R, C, lane = self.TO4, self.R, self.C, self.lane
-        if TO4 < self.halo_rows or self.halo_rows == 0:
+        TO4, R, C, lane, G = self.TO4, self.R, self.C, self.lane, self.G
+        T4G = TO4 * G                        # input rows per tile
+        if T4G < self.halo_rows or self.halo_rows == 0:
             # tile too short for the one-branch tail DMA (only reachable
             # with tiny test tiles): take the concat path, DC applied up
             # front (tail then carries DC-removed samples, same as
@@ -651,7 +703,7 @@ class MixDecimate:
             return self(params, carry,
                         jax.lax.complex(re, im) - dc_offset.astype(
                             jax.lax.complex(re, im).dtype))
-        samples_per_tile = TO4 * lane
+        samples_per_tile = T4G * lane
         if n % samples_per_tile:
             raise ValueError(f"block {n} not a multiple of {samples_per_tile}")
         n_tiles = n // samples_per_tile
@@ -664,19 +716,20 @@ class MixDecimate:
         x_re = re.reshape(rows_x, lane)
         x_im = im.reshape(rows_x, lane)
 
-        # BlockSpec-pipelined path geometry: its halo must DIVIDE TO4 so
-        # the backward-halo block index (i*TO4/bs_halo - 1) is integral.
-        # Pick the smallest multiple-of-8 divisor of TO4 >= the carried
-        # history; the surplus rows before the tail are zero-filled at
-        # i=0 (they carry zero taps by the w_pad front-padding guarantee)
-        # and real earlier input rows for i>0.
-        bs_halo = next((k for k in range(8, TO4 + 1, 8)
-                        if TO4 % k == 0 and k >= self.halo_rows), 0)
+        # BlockSpec-pipelined path geometry: its halo must DIVIDE the
+        # tile's row count T4G so the backward-halo block index
+        # (i*T4G/bs_halo - 1) is integral.  Pick the smallest
+        # multiple-of-8 divisor of T4G >= the carried history; the
+        # surplus rows before the tail are zero-filled at i=0 (they
+        # carry zero taps by the w_pad front-padding guarantee) and real
+        # earlier input rows for i>0.
+        bs_halo = next((k for k in range(8, T4G + 1, 8)
+                        if T4G % k == 0 and k >= self.halo_rows), 0)
         bs_base = bs_halo - self.halo_orig
-        m_rows = -(-(TO4 + C - 1 + bs_base) // 8) * 8 if bs_halo else 0
-        ahead = m_rows - bs_halo - TO4
+        m_rows = -(-(T4G + C - 1 + bs_base) // 8) * 8 if bs_halo else 0
+        ahead = m_rows - bs_halo - T4G
         bs_ok = (self.halo_rows > 0 and bs_halo > 0
-                 and (ahead <= 0 or TO4 % ahead == 0))
+                 and (ahead <= 0 or T4G % ahead == 0))
         if bs_ok:
             halo = bs_halo
             static = dict(TO4=TO4, R=R, C=C, halo_rows=halo, ahead=ahead,
@@ -684,8 +737,8 @@ class MixDecimate:
                           n_tiles=n_tiles, base_off=bs_base,
                           band_roll=self.band_roll, stage=self.stage,
                           dot_precision=self.dot_precision,
-                          tail_rows=self.halo_rows)
-            hs = TO4 // halo
+                          tail_rows=self.halo_rows, G=G)
+            hs = T4G // halo
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # tail re
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # tail im
@@ -695,14 +748,14 @@ class MixDecimate:
                 pl.BlockSpec((halo, lane),
                              lambda i, s1, s2: (jnp.maximum(i * hs - 1, 0),
                                                 0)),
-                pl.BlockSpec((TO4, lane), lambda i, s1, s2: (i, 0)),
-                pl.BlockSpec((TO4, lane), lambda i, s1, s2: (i, 0)),
+                pl.BlockSpec((T4G, lane), lambda i, s1, s2: (i, 0)),
+                pl.BlockSpec((T4G, lane), lambda i, s1, s2: (i, 0)),
             ]
             inputs = [t2.real.astype(jnp.float32),
                       t2.imag.astype(jnp.float32),
                       x_re, x_im, x_re, x_im]
             if ahead > 0:
-                a_s = TO4 // ahead
+                a_s = T4G // ahead
                 a_max = rows_x // ahead - 1
                 in_specs += [
                     pl.BlockSpec((ahead, lane),
@@ -736,7 +789,7 @@ class MixDecimate:
                 interpret=self.interpret,
             )(scalars, dc, *inputs)
         else:
-            m_rows = -(-(TO4 + C - 1 + self.base_off) // 8) * 8
+            m_rows = -(-(T4G + C - 1 + self.base_off) // 8) * 8
             kernel = functools.partial(_kernel_planes, TO4=TO4, R=R, C=C,
                                        halo_rows=self.halo_rows, lane=lane,
                                        wide_cols=self.wide_cols,
@@ -744,7 +797,8 @@ class MixDecimate:
                                        base_off=self.base_off,
                                        band_roll=self.band_roll,
                                        stage=self.stage,
-                                       dot_precision=self.dot_precision)
+                                       dot_precision=self.dot_precision,
+                                       G=G)
             buf = pltpu.VMEM((m_rows, lane), jnp.float32)
             y4 = pl.pallas_call(
                 kernel,

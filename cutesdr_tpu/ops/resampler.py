@@ -141,7 +141,7 @@ def _sinc_value(v: jax.Array, periods: int, interp: bool) -> jax.Array:
 
 
 def _sinc_band(Ti: jax.Array, tf: jax.Array, m: np.ndarray,
-               periods: int) -> jax.Array:
+               periods: int, parts: str = "full") -> jax.Array:
     """Windowed-sinc weights over a whole band: sv[..., m] = f(m - T[...])
     with T = Ti + tf and f as in _sinc_value, but evaluated SEPARABLY so
     the inner [..., M] loop is pure multiply-add:
@@ -169,28 +169,23 @@ def _sinc_band(Ti: jax.Array, tf: jax.Array, m: np.ndarray,
     mode is the CALLER quantizing tf to the 10,000-pt grid first."""
     rdtype = tf.dtype
     mf = m.astype(np.float64)
-    rf = jnp.round(tf)
-    r = tf - rf                                       # [-0.5, 0.5], exact
-    sin_r = jnp.sin(np.float32(K_PI) * r)
-    # numer(m) = sin(pi*(m - T - P/2)) = -(-1)^(m + n + P/2) * sin(pi*r)
-    # with n = round(T) = Ti + round(tf) (P even; the extra (-1)^(P/2)
-    # matters when P/2 is odd, e.g. P=30) — parity as a sign outer product
     assert periods % 2 == 0, "separable band form needs even periods"
-    n_round = Ti + rf.astype(jnp.int32)
-    par_T = (1 - 2 * (n_round % 2)).astype(rdtype)    # (-1)^round(T)
-    sign_m = jnp.asarray(
-        np.where((m + periods // 2) % 2 == 0, -1.0, 1.0), rdtype)
-    numer = (par_T * sin_r)[..., None] * sign_m       # [..., M]
 
-    TP = (Ti % periods).astype(rdtype) + tf           # T mod P, exact
-    w = jnp.full(tf.shape + (len(m),), _BH_COEFS[0], rdtype)
-    for kk in (1, 2, 3):
-        a = ((-1.0) ** kk) * _BH_COEFS[kk]
-        ang_m = 2.0 * np.pi * kk * mf / periods
-        cm = jnp.asarray(np.cos(ang_m).astype(np.float32), rdtype)
-        sm = jnp.asarray(np.sin(ang_m).astype(np.float32), rdtype)
-        ang_T = (2.0 * np.pi * kk / periods) * TP
-        w = w + a * (jnp.cos(ang_T)[..., None] * cm
+    w = None
+    if parts in ("full", "window"):
+        TP = (Ti % periods).astype(rdtype) + tf       # T mod P, exact
+        w = jnp.full(tf.shape + (len(m),), _BH_COEFS[0], rdtype)
+        for kk in (1, 2, 3):
+            a = ((-1.0) ** kk) * _BH_COEFS[kk]
+            ang_m = 2.0 * np.pi * kk * mf / periods
+            # a_k folded into the STATIC per-m factors: the inner [..., M]
+            # update is two pure FMAs instead of FMA + a broadcast a*
+            # multiply (the band is ~51M elements/flagship block, so every
+            # per-element op counts)
+            cm = jnp.asarray((a * np.cos(ang_m)).astype(np.float32), rdtype)
+            sm = jnp.asarray((a * np.sin(ang_m)).astype(np.float32), rdtype)
+            ang_T = (2.0 * np.pi * kk / periods) * TP
+            w = w + (jnp.cos(ang_T)[..., None] * cm
                      + jnp.sin(ang_T)[..., None] * sm)
 
     # (m - P/2 - Ti) - tf in ONE float subtraction from an exact integer
@@ -200,6 +195,23 @@ def _sinc_band(Ti: jax.Array, tf: jax.Array, m: np.ndarray,
     vc = im.astype(rdtype) - tf[..., None]
     fi = np.float32(K_PI) * vc
     inside = (vc > -(periods / 2)) & (vc <= periods / 2)
+    if parts == "window":
+        return jnp.where(inside, w, jnp.zeros_like(w))
+
+    rf = jnp.round(tf)
+    r = tf - rf                                       # [-0.5, 0.5], exact
+    sin_r = jnp.sin(np.float32(K_PI) * r)
+    # numer(m) = sin(pi*(m - T - P/2)) = -(-1)^(m + n + P/2) * sin(pi*r)
+    # with n = round(T) = Ti + round(tf) (P even; the extra (-1)^(P/2)
+    # matters when P/2 is odd, e.g. P=30) — parity as a sign outer product
+    n_round = Ti + rf.astype(jnp.int32)
+    par_T = (1 - 2 * (n_round % 2)).astype(rdtype)    # (-1)^round(T)
+    sign_m = jnp.asarray(
+        np.where((m + periods // 2) % 2 == 0, -1.0, 1.0), rdtype)
+    numer = (par_T * sin_r)[..., None] * sign_m       # [..., M]
+
+    if parts == "sinc":
+        w = jnp.ones_like(vc)
     small = jnp.abs(fi) < 1e-4                        # sin(fi)/fi -> 1
     s = jnp.where(small, w, w * numer / jnp.where(small, 1.0, fi))
     return jnp.where(inside, s, jnp.zeros_like(s))
@@ -222,7 +234,8 @@ def _times(params: ResamplerParams, t0, k):
 
 def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
             max_out: int,
-            interp: bool = False) -> tuple[ResamplerCarry, jax.Array, jax.Array]:
+            interp: bool = False,
+            _stage: str = "full") -> tuple[ResamplerCarry, jax.Array, jax.Array]:
     """Resample one block.
 
     Returns (carry', y[max_out], n_valid).  y[k] for k >= n_valid is zero.
@@ -236,6 +249,12 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
 
     The tap count is derived from ``carry.tail``, so one compiled program
     per sinc length (static shape).
+
+    ``_stage`` (ablation instrumentation, bench_resamp_ablation — NOT a
+    production knob): 'gather' stops after the row-gathered windows
+    (weights replaced by a constant), 'window' evaluates only the
+    Blackman-Harris term, 'sinc' only the sine/reciprocal term, 'full'
+    (production) everything.
     """
     n = x.shape[-1]
     periods = carry.tail.shape[-1]
@@ -303,8 +322,14 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     # the evaluators get the position exactly decomposed (int32 whole
     # samples + fractional part, already grid-quantized when not interp)
     # and run in exact mode — see _sinc_band's accuracy note
-    if periods % 2 == 0:
-        sv = _sinc_band(idx_local, tf, np.arange(M), periods)  # [nc, C, M]
+    if _stage == "gather":
+        # ablation: weights replaced by a broadcast constant so only the
+        # timestamp math + row gather + reduce remain
+        sv = jnp.broadcast_to(jnp.float32(1.0 / M), idx_local.shape + (M,))
+    elif periods % 2 == 0:
+        sv = _sinc_band(idx_local, tf, np.arange(M), periods,
+                        parts={"full": "full", "window": "window",
+                               "sinc": "sinc"}[_stage])   # [nc, C, M]
     else:
         v = (jnp.asarray(np.arange(M), jnp.int32)
              - idx_local[..., None]).astype(rdtype) - tf[..., None]

@@ -286,8 +286,8 @@ def _mixdec_tile(cfg: ReceiverConfig) -> int:
     D = cfg.plan.decimation
     if not mixdec_supported(D):
         return 0
-    lane = 128 if 128 % D == 0 else D
-    R = lane // D
+    R = 128 // D if 128 % D == 0 else 1
+    G = D // 128 if D % 128 == 0 else 1     # wide-128 rows per output
     out_per_block = cfg.block_size // D
     if out_per_block <= 0 or out_per_block % R:
         return 0
@@ -299,13 +299,16 @@ def _mixdec_tile(cfg: ReceiverConfig) -> int:
     # nothing else saturates).  Prefer the LARGEST legal tile up to 1024
     # columns; tile 8192+ regresses (VMEM pressure) and >= 16384 fails
     # to compile.
-    legal = [j for j in range(128, min(1024, to4_total) + 1, 128)
+    # wide-128 tiles span G rows per output — cap the VMEM window at
+    # ~2048 rows (the G=1 tile-1024 budget)
+    cap = min(1024, max(128, 2048 // G))
+    legal = [j for j in range(128, min(cap, to4_total) + 1, 128)
              if to4_total % j == 0]
     if legal:
         return legal[-1] * R
     # single tile == whole array: always tile-legal; bound the VMEM window
-    # (re+im planes of ~ (TO4+C) x lane f32)
-    if to4_total * lane * 4 * 2 <= 8_000_000:
+    # (re+im planes of ~ TO4·D samples f32)
+    if to4_total * D * 4 * 2 <= 8_000_000:
         return to4_total * R
     return 0
 

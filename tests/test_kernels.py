@@ -409,8 +409,8 @@ def test_mixdec_process_planes_matches_call(rng):
         plan = plan_decimation(in_rate, 20_000.0)
         tune = in_rate / 17.0
         md = MixDecimate(plan, tune, tile_out=to, interpret=True)
-        spt = md.TO4 * md.lane
-        n = spt * 2
+        spt = md.TO4 * md.G * md.lane      # samples per tile (G rows/output
+        n = spt * 2                        # in the wide-128 form)
         x = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
              * 100).astype(np.complex64)
         dc = np.complex64(0.37 - 0.21j)
