@@ -96,6 +96,18 @@ def run(block=262_144, in_rate=62_500.0, out_rate=48_000.0):
         print(f"  {stage:>7}: {med * 1e3:.3f} ms/block "
               f"({[round(s * 1e3, 3) for s in slopes]})", file=sys.stderr)
 
+    # r5 static-polyphase conv fast path (exact rational ratio)
+    rat = resampler.rational_for(in_rate, out_rate)
+    if rat is not None:
+        step = jax.jit(functools.partial(
+            resampler.process, max_out=max_out, interp=True, rational=rat))
+        med, slopes = _slope(step, params, carry0, x)
+        rows["rational"] = {"ms": round(med * 1e3, 4), "pq": list(rat),
+                            "ms_all": [round(s * 1e3, 4) for s in slopes]}
+        print(f"  rational: {med * 1e3:.3f} ms/block "
+              f"({[round(s * 1e3, 3) for s in slopes]})  p/q={rat}",
+              file=sys.stderr)
+
     g = rows["gather"]["ms"]
     decomp = {
         "gather_base_ms": g,

@@ -22,11 +22,14 @@ fractional-phase accuracy without float64 — see _times().
 
 from __future__ import annotations
 
+import functools
+from fractions import Fraction
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from cutesdr_tpu.design.windows import window_table
 from cutesdr_tpu.types import K_PI, complex_zeros
@@ -100,6 +103,137 @@ def max_out_for(block_len: int, nominal_rate: float) -> int:
     margin must exceed that or peak corrections would silently drop
     samples against the static output shape."""
     return int(np.ceil(block_len / (nominal_rate * 0.996))) + 4
+
+
+def rational_for(in_rate: float, out_rate: float, max_den: int = 512,
+                 max_num: int = 2048) -> tuple[int, int] | None:
+    """(p, q) with in_rate/out_rate == p/q exactly (reduced), else None.
+
+    Every decimation-plan output rate is in_rate/2^k, so the common audio
+    targets make small exact fractions (62500/48000 = 125/96 on the
+    flagship; 78125/48000 = 625/384 at 20 MSPS) — the structural hook for
+    the static-polyphase fast path below.  q == 1 (integer ratio) is
+    excluded (the group algebra below assumes q >= 2; it would also mean
+    a pure decimation no real config hits)."""
+    if out_rate <= 0 or in_rate <= 0:
+        return None
+    fr = Fraction(in_rate / out_rate).limit_denominator(max_den)
+    if fr.numerator <= 0 or fr.numerator > max_num or fr.denominator < 2:
+        return None
+    if abs(float(fr) - in_rate / out_rate) > 1e-12 * float(fr):
+        return None
+    return int(fr.numerator), int(fr.denominator)
+
+
+def _sinc_np(v: np.ndarray, periods: int) -> np.ndarray:
+    """f64 windowed-sinc weight f(v), the same closed form as _sinc_value
+    (= the reference table entry at index v*10000), vectorized in numpy
+    for static weight construction."""
+    v = np.asarray(v, np.float64)
+    inside = (v > 0) & (v <= periods)
+    w = np.zeros_like(v)
+    for kk, a in enumerate(_BH_COEFS):
+        w = w + ((-1.0) ** kk) * a * np.cos((2.0 * np.pi * kk / periods) * v)
+    fi = np.pi * (v - periods / 2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.where(np.abs(fi) < 1e-9, 1.0, np.sin(fi) / fi)
+    return np.where(inside, w * s, 0.0)
+
+
+@functools.lru_cache(maxsize=16)
+def _rational_weights(p: int, q: int, periods: int, interp: bool):
+    """Static polyphase tap bank for ratio dt = p/q.
+
+    Conv-stream output u = q*k + p' sits at time t = p*k + b(p') + nu/q
+    with b = (p*p')//q, nu = (p*p') mod q; its ``periods`` taps read
+    input offsets w = b+1 .. b+periods of the window starting at p*k.
+    rhs[p', w] holds f(w - b - nu/q) evaluated in f64 (exact phases —
+    better than the banded path's f32 phase assembly); interp=False
+    applies the reference's truncating 10,000-pt grid to the exact
+    position first."""
+    pp = np.arange(q)
+    b = (p * pp) // q
+    nu = (p * pp) % q
+    W = int(b.max()) + periods + 1
+    rhs = np.zeros((q, W), np.float64)
+    j = np.arange(1, periods + 1)
+    for c in range(q):
+        v = j - nu[c] / q
+        if not interp:
+            v = np.floor(v * SINC_PERIOD_PTS) / SINC_PERIOD_PTS
+        rhs[c, b[c] + 1:b[c] + periods + 1] = _sinc_np(v, periods)
+    return rhs, W
+
+
+def _rational_process(p: int, q: int, params: ResamplerParams,
+                      carry: ResamplerCarry, x: jax.Array, max_out: int,
+                      interp: bool):
+    """Exact-rational resample: ONE static-weight strided convolution.
+
+    When the traced ratio equals the nominal p/q (the rate-lock
+    correction is zero — bench, file output, serve before the P loop
+    engages), all output phases live on the /q grid: only q distinct
+    fractional phases exist, their windowed-sinc taps are STATIC, and
+    the whole block is a stride-p VALID conv with q output channels on
+    the MXU — replacing the banded evaluator's ~M-per-output closed-form
+    weight evaluation (256 evals/output on the flagship, ~0.6 ms/block)
+    with ~periods MACs/output (~0.03 ms).
+
+    Integer bookkeeping: position numerator N(o) = num0 + p*o with
+    num0 = round(t0*q) (t0 always sits on the /q grid in steady state;
+    after a corr!=0 episode the snap is <= 1/(2q) sample, once).  Group
+    alignment: output o maps to conv-stream index u = o + u0 with the
+    input shifted sigma samples, where u0 = num0*inv(p mod q) mod q
+    and sigma = (p*u0 - num0)/q — both integers by construction."""
+    n = x.shape[-1]
+    periods = carry.tail.shape[-1]
+    rdtype = params.dt_hi.dtype
+    rhs_np, W = _rational_weights(p, q, periods, interp)
+    inv = pow(p % q, -1, q)
+
+    num0 = jnp.round(carry.t0 * q).astype(jnp.int32)        # [0, p]
+    u0 = (num0 * inv) % q           # p*u0 == num0 (mod q)
+    sigma = (p * u0 - num0) // q                             # [0, p)
+
+    K = -(-((q - 1) + max_out) // q) + 1                     # conv groups
+    Lc = p * (K - 1) + W
+    # stream position t indexes the TAIL-PREFIXED z (z[i] = x[i - P]):
+    # output at time t reads z[t+1 .. t+P] — exactly the banded path's
+    # convention (support = x[t-P+1 .. t], the P-sample history window)
+    pad_front = p                  # zfull[phi] = z[phi - p]
+    pad_right = max(0, Lc - n) + p
+    start = pad_front - sigma      # lhs[i] = z[i - sigma]
+    rhs = jnp.asarray(rhs_np, x.real.dtype if jnp.iscomplexobj(x)
+                      else x.dtype)
+
+    def conv1(vec):
+        zfull = jnp.concatenate([
+            jnp.zeros((p,), vec.dtype), vec,
+            jnp.zeros((pad_right,), vec.dtype)])
+        lhs = lax.dynamic_slice(zfull, (start,), (Lc,))
+        out = lax.conv_general_dilated(
+            lhs[None, None, :], rhs[:, None, :],
+            window_strides=(p,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=jax.lax.Precision.HIGHEST)             # [1, q, K]
+        flat = out[0].T.reshape(-1)                          # time order
+        return lax.dynamic_slice(flat, (u0,), (max_out,))
+
+    z = jnp.concatenate([carry.tail, x], axis=-1)
+    if jnp.iscomplexobj(x):
+        y = jax.lax.complex(conv1(z.real), conv1(z.imag)).astype(x.dtype)
+    else:
+        y = conv1(z).astype(x.dtype)
+
+    o = jnp.arange(max_out, dtype=jnp.int32)
+    valid = (num0 + p * o) // q < n
+    y = jnp.where(valid, y, jnp.zeros((), y.dtype))
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    num_new = num0 + p * n_valid - q * n                     # [0, p)
+    t0_new = num_new.astype(rdtype) / q
+    return (ResamplerCarry(tail=z[..., z.shape[-1] - periods:],
+                           t0=t0_new),
+            y, n_valid)
 
 
 _CHUNK = 64          # outputs per banded chunk (see process docstring)
@@ -217,26 +351,73 @@ def _sinc_band(Ti: jax.Array, tf: jax.Array, m: np.ndarray,
     return jnp.where(inside, s, jnp.zeros_like(s))
 
 
+_K_SPLIT = 2048.0    # two-level split of k (see _times)
+
+
 def _times(params: ResamplerParams, t0, k):
     """Exact-ish (t_int, t_frac) of t_k = t0 + k*dt.
 
-    a = k*dt_hi is exactly representable (k < 2^11, dt_hi multiple of 2^-12,
-    product < 2^24 quanta), so frac(a) is exact; b = t0 + k*dt_lo stays in
-    [-0.5, 1.5] where float32 keeps ~1e-7 absolute accuracy.
-    """
-    a = k * params.dt_hi
+    k*dt_hi is computed in TWO exact pieces (r5 fix): the single product
+    is only exact for k < 2^11 (dt_hi is a multiple of 2^-12, so the
+    product must stay under 2^24 quanta) — at the flagship's 202k
+    outputs/block the one-product form had fractional-phase errors up to
+    ~2^-7 of a sample and the production resampler measured 46 dB SINAD
+    (137 dB at 4 k blocks; tests/test_ops.py::test_resampler_large_block_snr
+    pins the fix).  Split k = k_hi*2048 + k_lo: a1 = k_hi*(2048*dt_hi)
+    (2048*dt_hi is exact with 2^-1 quanta; product < 2^24 half-quanta for
+    any realistic block) and a2 = k_lo*dt_hi (exact, < 2^24 quanta); take
+    frac() of each exactly, then combine.  b = t0 + k*dt_lo: |dt_lo| <=
+    2^-13, so even at 202k outputs |b| <= ~25 and its f32 rounding is
+    ~2e-6 of a sample (~-110 dB, below the f32 weight noise)."""
+    a1 = jnp.floor(k / _K_SPLIT) * (_K_SPLIT * params.dt_hi)
+    a2 = (k - jnp.floor(k / _K_SPLIT) * _K_SPLIT) * params.dt_hi
     b = t0 + k * params.dt_lo
-    a_int = jnp.floor(a)
-    ftot = (a - a_int) + b
+    i1 = jnp.floor(a1)
+    i2 = jnp.floor(a2)
+    ftot = (a1 - i1) + (a2 - i2) + b
     f_int = jnp.floor(ftot)
-    return (a_int + f_int).astype(jnp.int32), ftot - f_int
+    return (i1 + i2 + f_int).astype(jnp.int32), ftot - f_int
 
 
 def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
             max_out: int,
             interp: bool = False,
-            _stage: str = "full") -> tuple[ResamplerCarry, jax.Array, jax.Array]:
+            _stage: str = "full",
+            rational: tuple[int, int] | None = None,
+            ) -> tuple[ResamplerCarry, jax.Array, jax.Array]:
     """Resample one block.
+
+    ``rational``: the exact nominal ratio (p, q) from ``rational_for``,
+    or None.  When given, a runtime ``lax.cond`` takes the static-
+    polyphase conv fast path (_rational_process) whenever the traced
+    ratio equals the nominal — the zero-correction steady state — and
+    the banded evaluator otherwise (rate-lock corrections, arbitrary
+    ratios).  Pass it only from non-vmapped call sites: under vmap the
+    cond lowers to select and BOTH paths would execute every block
+    (pipeline/receiver passes it from the single-stream tail only,
+    like the scan1 fast= flags).
+    """
+    if rational is not None and _stage == "full" and \
+            carry.tail.shape[-1] % 2 == 0:
+        p, q = rational
+        nom_hi, nom_lo = split_rate(p / q)
+        pred = ((params.dt_hi == jnp.asarray(nom_hi, params.dt_hi.dtype))
+                & (params.dt_lo == jnp.asarray(nom_lo, params.dt_lo.dtype)))
+        return lax.cond(
+            pred,
+            lambda a: _rational_process(p, q, a[0], a[1], a[2], max_out,
+                                        interp),
+            lambda a: _banded_process(a[0], a[1], a[2], max_out, interp,
+                                      "full"),
+            (params, carry, x))
+    return _banded_process(params, carry, x, max_out, interp, _stage)
+
+
+def _banded_process(params: ResamplerParams, carry: ResamplerCarry,
+                    x: jax.Array, max_out: int, interp: bool = False,
+                    _stage: str = "full",
+                    ) -> tuple[ResamplerCarry, jax.Array, jax.Array]:
+    """Arbitrary-ratio banded evaluator (the general path).
 
     Returns (carry', y[max_out], n_valid).  y[k] for k >= n_valid is zero.
 
@@ -346,10 +527,17 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     y = jnp.where(valid, y, jnp.zeros((), y.dtype))
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    # t0' = t0 + n_valid*dt - n, via the same exact split
+    # t0' = t0 + n_valid*dt - n, via the same two-level exact split as
+    # _times (the one-product form rounded at ~0.015 samples per block
+    # at flagship counts — a per-block phase JUMP, the dominant term of
+    # the 46 dB large-block regression the r5 fix removes)
     cnt = n_valid.astype(rdtype)
-    a = cnt * params.dt_hi
-    t0_new = (a - n) + (carry.t0 + cnt * params.dt_lo)
+    a1 = jnp.floor(cnt / _K_SPLIT) * (_K_SPLIT * params.dt_hi)
+    a2 = (cnt - jnp.floor(cnt / _K_SPLIT) * _K_SPLIT) * params.dt_hi
+    i1 = jnp.floor(a1)
+    i2 = jnp.floor(a2)
+    t0_new = (((i1 + i2) - n) + ((a1 - i1) + (a2 - i2))
+              + (carry.t0 + cnt * params.dt_lo))
     return (ResamplerCarry(tail=z[..., z.shape[-1] - periods:],
                            t0=t0_new),
             y, n_valid)

@@ -526,14 +526,23 @@ def _levels(cfg: ReceiverConfig, params: ReceiverParams,
 
 
 def _tail(cfg: ReceiverConfig, params: ReceiverParams, state: ReceiverState,
-          audio: jax.Array, sm_c, probes=None):
-    """Resample → gain → output assembly (post-demod)."""
+          audio: jax.Array, sm_c, probes=None, fast: bool = False):
+    """Resample → gain → output assembly (post-demod).
+
+    ``fast=True`` (single-stream call sites only, like the scan1 flags)
+    hands the resampler the exact nominal ratio so the static-polyphase
+    conv path runs whenever the rate-lock correction is zero; under vmap
+    the inner lax.cond would lower to select and execute BOTH paths, so
+    the bank path keeps the banded evaluator."""
     if cfg.audio_rate is not None:
         cap = resampler.max_out_for(audio.shape[-1],
                                     cfg.output_rate / cfg.audio_rate)
         rs_c, audio_out, n_audio = resampler.process(
             params.resamp, state.resamp, audio, cap,
-            interp=cfg.resampler_interp)
+            interp=cfg.resampler_interp,
+            rational=(resampler.rational_for(cfg.output_rate,
+                                             cfg.audio_rate)
+                      if fast else None))
         audio_out = audio_out * params.audio_gain
         if probes is not None:
             probes["p5_resampled"] = audio_out
@@ -565,7 +574,8 @@ def back_end(cfg: ReceiverConfig, params: ReceiverParams,
     if probes is not None:
         probes["p4_demod"] = audio
 
-    sm_c, rs_c, out = _tail(cfg, params, state, audio, sm_c, probes)
+    sm_c, rs_c, out = _tail(cfg, params, state, audio, sm_c, probes,
+                            fast=True)
     return sm_c, agc_c, dm_c, rs_c, out
 
 

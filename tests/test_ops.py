@@ -389,6 +389,85 @@ def test_resampler_streaming_sinad(fs_in, interp, min_db):
     assert sinad > min_db, sinad
 
 
+def test_resampler_large_block_snr():
+    """SINAD at the flagship's PRODUCTION block size (262144 decimated
+    samples, ~202k outputs/block).  Pins the r5 two-level _times split:
+    the one-product k*dt_hi form is only exact for k < 2^11, and at 202k
+    outputs the f32 fractional phases drifted up to ~2^-7 of a sample —
+    the shipped resampler measured 46 dB here while the k<2^11 tests
+    above showed 120+ dB (their blocks were too small to see it)."""
+    fs_in, fs_out = 62500.0, 48000.0
+    rate = fs_in / fs_out
+    f0 = 10000.0
+    block = 262144
+    p, c = resampler.init(rate, rdtype=jnp.float32)
+    max_out = resampler.max_out_for(block, rate)
+    ys = []
+    for b in range(2):
+        x = np.cos(2 * np.pi * f0 / fs_in
+                   * (np.arange(block) + b * block)).astype(np.float32) * 0.3
+        c, y, nv = resampler.process(p, c, jnp.asarray(x), max_out,
+                                     interp=True)
+        ys.append(np.asarray(y)[:int(nv)])
+    y = np.concatenate(ys)[1000:-1000]
+    sinad = _audio_band_sinad(y, fs_out, f0)
+    assert sinad > 115.0, sinad
+
+
+def test_resampler_rational_fast_path(rng):
+    """The static-polyphase conv fast path (exact rational ratio, zero
+    rate-lock correction) equals the banded evaluator across carry
+    boundaries for real/complex and both interp modes, and a non-nominal
+    ratio falls back to the banded path bit-exactly."""
+    fs_in, fs_out = 62500.0, 48000.0
+    rate = fs_in / fs_out
+    rat = resampler.rational_for(fs_in, fs_out)
+    assert rat == (125, 96)
+    assert resampler.rational_for(62500.0, 44100.0) == (625, 441)
+    assert resampler.rational_for(62500.0, 62500.0) is None  # q == 1
+    n = 16384
+    max_out = resampler.max_out_for(n, rate)
+    for interp in (True, False):
+        for cplx in (False, True):
+            p0, cf = resampler.init(rate, complex_input=cplx,
+                                    rdtype=jnp.float32)
+            _, cb = resampler.init(rate, complex_input=cplx,
+                                   rdtype=jnp.float32)
+            for blk in range(3):
+                if cplx:
+                    x = jnp.asarray((rng.standard_normal(n)
+                                     + 1j * rng.standard_normal(n)
+                                     ).astype(np.complex64))
+                else:
+                    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                cf, yf, nf = resampler.process(p0, cf, x, max_out,
+                                               interp=interp, rational=rat)
+                cb, yb, nb = resampler.process(p0, cb, x, max_out,
+                                               interp=interp)
+                assert int(nf) == int(nb)
+                rel = float(jnp.max(jnp.abs(yf - yb))) / \
+                    float(jnp.max(jnp.abs(yb)))
+                # interp=False: the banded path makes the truncating-grid
+                # decision in f32, the fast path on the exact f64 phase —
+                # isolated decisions flip near grid boundaries (the fast
+                # path is the more faithful of the two)
+                assert rel < (1e-4 if interp else 1e-3), \
+                    (interp, cplx, blk, rel)
+            assert abs(float(cf.t0) - float(cb.t0)) < 1e-4
+    # non-nominal ratio: the cond must take the banded branch exactly
+    p1, c1 = resampler.init(rate * 1.001, rdtype=jnp.float32)
+    _, c2 = resampler.init(rate * 1.001, rdtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    _, y1, n1 = resampler.process(p1, c1, x, max_out, rational=rat)
+    _, y2, n2 = resampler.process(p1, c2, x, max_out)
+    assert int(n1) == int(n2)
+    # same banded code, but compiled inside lax.cond vs standalone —
+    # XLA's fusion/FMA choices may differ between the two programs, so
+    # value-level (not bitwise) equality is the contract
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_sinc_band_matches_direct_form_all_parities():
     """_sinc_band's separable evaluation equals the direct closed form for
     every tap-count parity class — P=30 exercises the (-1)^(P/2) factor a
