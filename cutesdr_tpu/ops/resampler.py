@@ -211,6 +211,9 @@ def _rational_process(p: int, q: int, params: ResamplerParams,
             jnp.zeros((p,), vec.dtype), vec,
             jnp.zeros((pad_right,), vec.dtype)])
         lhs = lax.dynamic_slice(zfull, (start,), (Lc,))
+        # NCW output + explicit transpose to time order ([q, K] -> [K, q]
+        # -> flat): the NWC layout that would skip the transpose measured
+        # no better on v5e (0.30 vs 0.25 ms median, overlapping spreads)
         out = lax.conv_general_dilated(
             lhs[None, None, :], rhs[:, None, :],
             window_strides=(p,), padding="VALID",
