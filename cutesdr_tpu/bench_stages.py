@@ -250,7 +250,9 @@ def run_budget(frames_per_block=256, k1=4, k2=32,
     meds = {k: sorted(v)[len(v) // 2] for k, v in dists.items()}
     total = meds["full"]
     budget = {
-        "config": f"stage_budget_{name}",
+        # tolerate callers passing an already-prefixed --name
+        "config": name if name.startswith("stage_budget_")
+        else f"stage_budget_{name}",
         "frames_per_block": frames_per_block,
         "block": cfg.block_size,
         "fence": "d2h_slope",

@@ -21,7 +21,8 @@ import time
 
 
 REPS = 3   # timings through the remote tunnel vary run to run; take the
-           # best of REPS measurements and report the spread (CLAUDE.md)
+           # median of REPS positive slope measurements (the tunnel is
+           # nonstationary; a negative slope is discarded and retried)
 
 
 def _fence(out):
@@ -56,11 +57,19 @@ def _timeit(step, args, n_iters):
         return time.perf_counter() - t0
 
     samples = []
-    for _ in range(REPS):
-        ts = {k: run(k) for k in (k1, k2)}
-        samples.append((ts[k2] - ts[k1]) / (k2 - k1))
-    best = min(samples)
-    return best, (max(samples) - best) / best
+    for _ in range(3 * REPS):          # retry budget: the tunnel can be
+        ts = {k: run(k) for k in (k1, k2)}   # nonstationary enough that a
+        s = (ts[k2] - ts[k1]) / (k2 - k1)    # slope comes out <= 0 (r5:
+        if s > 0:                            # one full-suite run published
+            samples.append(s)                # a NEGATIVE latency row via
+        if len(samples) >= REPS:             # the old best-of-min)
+            break
+    if not samples:
+        raise RuntimeError("slope fence returned no positive samples "
+                           "(tunnel nonstationary) — rerun this row")
+    samples.sort()
+    med = samples[len(samples) // 2]
+    return med, (samples[-1] - samples[0]) / med
 
 
 def bench_receiver_cfg(name, cfg, n_iters, extras=None, stimulus=None):
@@ -126,10 +135,15 @@ def bench_channel_bank(n_iters):
         return time.perf_counter() - t0
 
     samples = []
-    for _ in range(REPS):
+    for _ in range(3 * REPS):   # same nonstationarity guard as _timeit
         ts = {k: run(k) for k in (k1, k2)}
-        samples.append((ts[k2] - ts[k1]) / (k2 - k1))
-    per_step = min(samples)
+        s = (ts[k2] - ts[k1]) / (k2 - k1)
+        if s > 0:
+            samples.append(s)
+        if len(samples) >= REPS:
+            break
+    samples.sort()
+    per_step = samples[len(samples) // 2]
     msps = cfg.block_size / per_step / 1e6
     return {"config": "64ch_bank_10msps", "channels": 64,
             "input_rate": cfg.input_rate, "block": cfg.block_size,
@@ -137,7 +151,7 @@ def bench_channel_bank(n_iters):
             "iq_msps": round(msps, 1),
             "channel_msps": round(msps * 64, 1),
             "realtime_factor": round(msps * 1e6 / cfg.input_rate, 1),
-            "spread": round((max(samples) - per_step) / per_step, 2)}
+            "spread": round((samples[-1] - samples[0]) / per_step, 2)}
 
 
 def _bench_fm_locked(n_iters):

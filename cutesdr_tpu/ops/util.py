@@ -149,10 +149,8 @@ def sliding_window_max(x: jax.Array, window: int, init_tail: jax.Array):
         [z, jnp.full(z.shape[:-1] + (pad,), neg_inf, z.dtype)], axis=-1)
     blocks = zp.reshape(zp.shape[:-1] + (-1, w))
     ax = blocks.ndim - 1                  # lax.cummax rejects negative axes
-    pre = lax.cummax(blocks, axis=ax)                   # block prefix max
-    suf = lax.cummax(blocks, axis=ax, reverse=True)     # block suffix max
-    # (reverse=True instead of flip-scan-flip: saves two full copies of
-    # the 262k-element envelope per step)
+    pre = lax.cummax(blocks, axis=ax)                              # block prefix max
+    suf = jnp.flip(lax.cummax(jnp.flip(blocks, -1), axis=ax), -1)  # block suffix max
     pre_f = pre.reshape(zp.shape)
     suf_f = suf.reshape(zp.shape)
     # window [i, i+w-1] spans at most two w-blocks: suffix of the first,

@@ -533,16 +533,20 @@ def _tail(cfg: ReceiverConfig, params: ReceiverParams, state: ReceiverState,
     hands the resampler the exact nominal ratio so the static-polyphase
     conv path runs whenever the rate-lock correction is zero; under vmap
     the inner lax.cond would lower to select and execute BOTH paths, so
-    the bank path keeps the banded evaluator."""
+    the bank path keeps the banded evaluator.  The conv path's fixed
+    overhead loses below ~128k audio samples/block (measured: the am/ssb
+    2 MSPS rows regressed ~8% with it always-on while the 262k flagship
+    gained 2.7x), so short blocks keep the banded path too."""
     if cfg.audio_rate is not None:
         cap = resampler.max_out_for(audio.shape[-1],
                                     cfg.output_rate / cfg.audio_rate)
+        use_rat = fast and audio.shape[-1] >= 131072
         rs_c, audio_out, n_audio = resampler.process(
             params.resamp, state.resamp, audio, cap,
             interp=cfg.resampler_interp,
             rational=(resampler.rational_for(cfg.output_rate,
                                              cfg.audio_rate)
-                      if fast else None))
+                      if use_rat else None))
         audio_out = audio_out * params.audio_gain
         if probes is not None:
             probes["p5_resampled"] = audio_out
