@@ -8,7 +8,8 @@ Baseline: the reference sustains a 2 MSPS complex stream in real time on one
 
 The benchmark streams synthetic IQ through the flagship config (2 MSPS USB:
 Pallas fused mix+decimate ×32 → Pallas four-step 2048-pt overlap-save
-bandpass → parallel S-meter/AGC → SSB demod → banded 48 kHz resample),
+bandpass → parallel S-meter/AGC → SSB demod → rational-polyphase 48 kHz
+resample),
 state chained between steps, input resident on device.  Timing uses the
 r4 D2H-slope fence (see bench_receiver docstring) — numbers before r4
 were remote-tunnel artifacts.  Details go to stderr.
