@@ -401,7 +401,11 @@ def process(params: ResamplerParams, carry: ResamplerCarry, x: jax.Array,
     like the scan1 fast= flags).
     """
     if rational is not None and _stage == "full" and \
-            carry.tail.shape[-1] % 2 == 0:
+            carry.tail.shape[-1] % 2 == 0 \
+            and rational[0] * (max_out + 1) < 2**31 \
+            and rational[1] * (x.shape[-1] + 1) < 2**31:
+        # the int32 phase numerators p*o and q*n must not overflow; real
+        # configs sit ~15x under the bound (125*202k, 96*262k)
         p, q = rational
         nom_hi, nom_lo = split_rate(p / q)
         pred = ((params.dt_hi == jnp.asarray(nom_hi, params.dt_hi.dtype))
