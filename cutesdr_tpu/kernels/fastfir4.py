@@ -78,18 +78,47 @@ def _cmatmul(ar, ai, br, bi):
     return rr, ri
 
 
+def _frame(br, bi, dn2r, dn2i, d128r, d128i, twr, twi, h2r, h2i,
+           n2, valid_rows):
+    """One frame's FFT → ·H → IFFT; returns the valid overlap-save rows."""
+    # forward: S = (T ⊙ (D_N2 @ B)) @ D128
+    cr, ci = _cmatmul(dn2r, dn2i, br, bi)
+    cpr = twr * cr - twi * ci
+    cpi = twr * ci + twi * cr
+    sr, si = _cmatmul(cpr, cpi, d128r, d128i)
+
+    # multiply by the (pre-permuted) filter response
+    pr = sr * h2r - si * h2i
+    pi = sr * h2i + si * h2r
+
+    # inverse: y_B = conj(D_N2) @ (conj(T) ⊙ (P @ conj(D128)))
+    qr, qi = _cmatmul(pr, pi, d128r, -d128i)
+    qpr = twr * qr + twi * qi
+    qpi = twr * qi - twi * qr
+    yr, yi = _cmatmul(dn2r, -dn2i, qpr, qpi)
+
+    # valid overlap-save output: the last valid_rows rows
+    return yr[n2 - valid_rows:, :], yi[n2 - valid_rows:, :]
+
+
 def _kernel(z_re_ref, z_im_ref,             # ANY [rows, 128] stream views
             dn2_ref, d128_ref, tw_ref,      # VMEM constants [2, ...] (re, im)
             h2_ref,                         # VMEM [2, n2, 128] pre-permuted H
-            y_re_ref, y_im_ref,             # out blocks [valid_rows, 128]
-            *, n2: int, valid_rows: int):
-    f = pl.program_id(0)
+            y_re_ref, y_im_ref,             # out [fps*valid_rows, 128]
+            *, n2: int, valid_rows: int, fps: int = 1):
+    """``fps`` frames per grid step (r5): the per-frame form ran 256 grid
+    steps of ~1-2 us work each on the flagship block — per-step overhead
+    was a third of the whole channel filter.  One DMA pulls the fps
+    frames' union window (consecutive frames overlap by n2-valid_rows
+    rows) and an unrolled loop reuses the per-frame pipeline."""
+    g = pl.program_id(0)
+    m_rows = fps * valid_rows + (n2 - valid_rows)
 
     def body(br_s, bi_s, sem):
-        row0 = pl.multiple_of(f * valid_rows, valid_rows)
-        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, n2)], br_s,
+        row0 = pl.multiple_of(g * fps * valid_rows, fps * valid_rows)
+        cp1 = pltpu.make_async_copy(z_re_ref.at[pl.ds(row0, m_rows)], br_s,
                                     sem.at[0])
-        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, n2)], bi_s,
+        cp2 = pltpu.make_async_copy(z_im_ref.at[pl.ds(row0, m_rows)], bi_s,
                                     sem.at[1])
         cp1.start()
         cp2.start()
@@ -100,30 +129,18 @@ def _kernel(z_re_ref, z_im_ref,             # ANY [rows, 128] stream views
         cp1.wait()
         cp2.wait()
 
-        # forward: S = (T ⊙ (D_N2 @ B)) @ D128
-        cr, ci = _cmatmul(dn2r, dn2i, br_s[:], bi_s[:])
-        cpr = twr * cr - twi * ci
-        cpi = twr * ci + twi * cr
-        sr, si = _cmatmul(cpr, cpi, d128r, d128i)
-
-        # multiply by the (pre-permuted) filter response
-        pr = sr * h2r - si * h2i
-        pi = sr * h2i + si * h2r
-
-        # inverse: y_B = conj(D_N2) @ (conj(T) ⊙ (P @ conj(D128)))
-        qr, qi = _cmatmul(pr, pi, d128r, -d128i)
-        qpr = twr * qr + twi * qi
-        qpi = twr * qi - twi * qr
-        yr, yi = _cmatmul(dn2r, -dn2i, qpr, qpi)
-
-        # valid overlap-save output: the last valid_rows rows
-        y_re_ref[:] = yr[n2 - valid_rows:, :]
-        y_im_ref[:] = yi[n2 - valid_rows:, :]
+        for f in range(fps):
+            r0 = f * valid_rows
+            yr, yi = _frame(br_s[r0:r0 + n2, :], bi_s[r0:r0 + n2, :],
+                            dn2r, dn2i, d128r, d128i, twr, twi, h2r, h2i,
+                            n2, valid_rows)
+            y_re_ref[r0:r0 + valid_rows, :] = yr
+            y_im_ref[r0:r0 + valid_rows, :] = yi
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((n2, N1), jnp.float32),
-        pltpu.VMEM((n2, N1), jnp.float32),
+        pltpu.VMEM((m_rows, N1), jnp.float32),
+        pltpu.VMEM((m_rows, N1), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -155,21 +172,10 @@ def _kernel_batch(z_re_ref, z_im_ref,       # ANY [C, rows, 128] stream views
         cp1.wait()
         cp2.wait()
 
-        cr, ci = _cmatmul(dn2r, dn2i, br_s[:], bi_s[:])
-        cpr = twr * cr - twi * ci
-        cpi = twr * ci + twi * cr
-        sr, si = _cmatmul(cpr, cpi, d128r, d128i)
-
-        pr = sr * h2r - si * h2i
-        pi = sr * h2i + si * h2r
-
-        qr, qi = _cmatmul(pr, pi, d128r, -d128i)
-        qpr = twr * qr + twi * qi
-        qpi = twr * qi - twi * qr
-        yr, yi = _cmatmul(dn2r, -dn2i, qpr, qpi)
-
-        y_re_ref[0] = yr[n2 - valid_rows:, :]
-        y_im_ref[0] = yi[n2 - valid_rows:, :]
+        yr, yi = _frame(br_s[:], bi_s[:], dn2r, dn2i, d128r, d128i,
+                        twr, twi, h2r, h2i, n2, valid_rows)
+        y_re_ref[0] = yr
+        y_im_ref[0] = yi
 
     pl.run_scoped(
         body,
@@ -230,7 +236,7 @@ class FastFirFourStep:
             tail=complex_zeros(self.ntaps - 1, jnp.complex64))
 
     def filter_frames(self, params: FastFir4Params,
-                      z: jax.Array) -> jax.Array:
+                      z: jax.Array, fps: int | None = None) -> jax.Array:
         """Overlap-save core on an explicit [ntaps-1 + n] history+block
         buffer; returns n filtered samples (the stateless form
         ops.fastfir.filter_frames exposes, used by the time-sharded
@@ -246,11 +252,21 @@ class FastFirFourStep:
         z_re = z.real.reshape(rows, N1)
         z_im = z.imag.reshape(rows, N1)
 
+        # frames per grid step: 1 (measured best).  The batched form was
+        # built on the hypothesis that 256 single-frame grid steps were
+        # per-step-overhead bound; the r5 fps sweep (1/4/8/16 at 262k,
+        # slope fence) measured 0.29/0.32/0.45/0.30 ms — no win, fps=8
+        # WORSE (the union-window DMA serializes against the whole
+        # step's compute, where single-frame steps pipeline).  Kept as a
+        # knob for future toolchains.
+        if fps is None:
+            fps = 1
         kernel = functools.partial(_kernel, n2=self.n2,
-                                   valid_rows=self.valid_rows)
+                                   valid_rows=self.valid_rows, fps=fps)
+        vr = self.valid_rows
         y_re, y_im = pl.pallas_call(
             kernel,
-            grid=(n_frames,),
+            grid=(n_frames // fps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -260,14 +276,12 @@ class FastFirFourStep:
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((self.valid_rows, N1), lambda f: (f, 0)),
-                pl.BlockSpec((self.valid_rows, N1), lambda f: (f, 0)),
+                pl.BlockSpec((fps * vr, N1), lambda g: (g, 0)),
+                pl.BlockSpec((fps * vr, N1), lambda g: (g, 0)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_frames * self.valid_rows, N1),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((n_frames * self.valid_rows, N1),
-                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_frames * vr, N1), jnp.float32),
+                jax.ShapeDtypeStruct((n_frames * vr, N1), jnp.float32),
             ),
             interpret=self.interpret,
         )(z_re, z_im, self._dn2, self._d128, self._tw, params.h2)
