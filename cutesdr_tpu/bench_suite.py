@@ -40,8 +40,8 @@ def _fence(out):
 
 def _timeit(step, args, n_iters):
     """Seconds/step as the slope between two fenced chained lengths
-    (removes the ~25-40 ms fixed D2H latency).  Returns (best of REPS,
-    spread fraction)."""
+    (removes the ~25-40 ms fixed D2H latency).  Returns (median of REPS
+    positive samples, spread fraction over the kept samples)."""
     out = step(*args)
     _fence(out[1:])
     state = out[0]
