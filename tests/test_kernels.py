@@ -115,6 +115,26 @@ def test_fastfir4_matches_xla(rng):
     np.testing.assert_allclose(got, want, atol=5e-5 * scale)
 
 
+def test_fastfir4_fps_batching_exact(rng):
+    """The frames-per-step batching knob (one union-window DMA + an
+    unrolled in-kernel frame loop) is bit-equivalent to the single-frame
+    grid — on-chip it measured no faster (see filter_frames), but the
+    knob stays and must stay CORRECT."""
+    from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
+
+    fs = 62500.0
+    k = FastFirFourStep(100.0, 2800.0, 0.0, fs, interpret=True)
+    n = 8 * 1024
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 100
+         ).astype(np.complex64)
+    z = jnp.concatenate([jnp.zeros(k.ntaps - 1, jnp.complex64),
+                         jnp.asarray(x)])
+    y1 = np.asarray(k.filter_frames(k.params, z, fps=1))
+    for fps in (2, 4, 8):
+        yf = np.asarray(k.filter_frames(k.params, z, fps=fps))
+        np.testing.assert_array_equal(y1, yf)
+
+
 def test_fastfir4_retune(rng):
     from cutesdr_tpu.kernels.fastfir4 import FastFirFourStep
     from cutesdr_tpu.testbench.generators import tone as _tone
