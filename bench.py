@@ -94,19 +94,28 @@ def bench_receiver(frames_per_block=256, k1=4, k2=64, reps=5):
           f"block={cfg.block_size}", file=sys.stderr)
 
     pers = []
-    for rep in range(reps):
-        ts = {}
-        for k in (k1, k2):
-            t0 = time.perf_counter()
+    for rep in range(3 * reps):      # retry budget: discard non-positive
+        ts = {}                      # slopes (the tunnel is nonstationary
+        for k in (k1, k2):           # enough to produce them — see
+            t0 = time.perf_counter()  # bench_suite._timeit)
             s = state
             for _ in range(k):
                 s, out = step(params, s, re, im)
             fence(out)
             ts[k] = time.perf_counter() - t0
         per = (ts[k2] - ts[k1]) / (k2 - k1)
+        if per <= 0:
+            print(f"rep {rep}: non-positive slope {per * 1e3:.3f} ms "
+                  f"discarded", file=sys.stderr)
+            continue
         pers.append(per)
         print(f"rep {rep}: slope {per * 1e3:.3f} ms/step -> "
               f"{cfg.block_size / per / 1e6:.1f} Msps", file=sys.stderr)
+        if len(pers) >= reps:
+            break
+    if not pers:
+        raise RuntimeError("no positive slope samples (tunnel "
+                           "nonstationary) — rerun")
 
     # Headline = median of the per-rep slopes (r5: the tunnel jitters reps
     # by ~18%, so best-of overstates; spread + n are reported alongside).
