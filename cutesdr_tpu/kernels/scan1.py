@@ -409,3 +409,4 @@ def smeter_last(mag: jax.Array, attack_alpha, decay_alpha, a0, d0,
     out = _smeter_padless(mag.reshape(rows, 128), scal,
                           interpret=interpret)
     return out[0], out[1]
+

@@ -304,7 +304,12 @@ def _averager_parallel(cfg: AgcConfig, p: AgcParams, carry: AgcCarry,
                        peak: jax.Array, fast: bool = False):
     """Parallel (log-depth) averagers + per-solve convergence flags."""
     # two flat [N] solves, NOT one stacked [2, N] solve: the (2, N)
-    # layout wastes 6/8 sublanes and measures 2x slower on v5e
+    # layout wastes 6/8 sublanes and measures 2x slower on v5e.
+    # (A whole-solve kernel — warm start + every guess-verify round of
+    # both averagers in ONE pallas_call on VMEM-resident state — was
+    # built and measured SLOWER in r5: per-call launch overhead is not
+    # the cost, the VPU round work is, and monolithic [2048, 128] rolls
+    # run ~2-3x slower than the 256-row grid form.  See DESIGN.md §30.)
     a, a_ok = _two_rate_parallel(p.attack_rise_alpha, p.attack_fall_alpha,
                                  carry.attack_ave, peak, GUESS_ITERS,
                                  fast=fast)

@@ -567,3 +567,4 @@ def test_seqloop_sam_matches_xla_scan():
         assert float(jnp.max(jnp.abs(prev - prev2))) == 0.0, n
         assert float(ph) == float(ph2) and float(fr) == float(fr2)
         c = c._replace(nco_phase=ph2, nco_freq=fr2)
+
