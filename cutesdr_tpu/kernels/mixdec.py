@@ -56,7 +56,18 @@ r5 ablation findings (bench_mixdec_ablation, honest D2H-slope fence,
     — measured 0.237 ms/4.19M block (17.7 GSPS) at D=256 vs ~0.33
     kernel+retile before;
   * dot precision DEFAULT (one bf16 pass) buys only ~8% — HIGHEST stays
-    (the -77 dB single-pass floor is not worth 8%).
+    (the -77 dB single-pass floor is not worth 8%);
+  * the stage terms ADD UP: full ≈ dma + osc/mix + matmul (0.15 + 0.17
+    + 0.26 ≈ the measured ~0.58 ms/8.4M at ×32), i.e. the BlockSpec
+    streams' copy-in is NOT hidden behind compute despite the automatic
+    double-buffering.  Overlapping it (so full → max(dma, compute) ≈
+    0.43) is the top remaining front-end lever (~0.15 ms/step at the
+    flagship); candidates: fewer input streams (the halo/main/lookahead
+    triple re-reads the same planes), or compute on the previous tile
+    while the scratch assembly of the next runs.  Tried and measured
+    no change (r5): dimension_semantics=("parallel",) on the grid —
+    0.564 vs 0.596 ms with fully overlapping rep spreads, so the
+    serialization is not the default "arbitrary" cross-step ordering.
 """
 
 from __future__ import annotations
